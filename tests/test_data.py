@@ -1,0 +1,123 @@
+"""Data layer tests: parser, field split, transY, padding."""
+
+import numpy as np
+
+from one_class_ffm_tpu.data import (
+    read_data,
+    split_fields,
+    trans_y,
+    pad_fields,
+    pad_labels,
+)
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+SAMPLE_TRAIN = """\
+0,2 0:0:1 1:3:0.5
+1 0:1:1 1:0:1 1:1:2
+0 1:2:1
+"""
+
+SAMPLE_ITEM = """\
+0:0:1
+0:1:1
+0:2:1
+"""
+
+
+def test_read_labeled(tmp_path):
+    path = _write(tmp_path, "tr.ffm", SAMPLE_TRAIN)
+    d = read_data(path, has_label=True)
+    assert d.m == 3
+    assert d.n == 3  # labels 0,1,2
+    assert d.f == 2
+    assert d.y.nnz == 4
+    np.testing.assert_array_equal(d.y.indptr, [0, 2, 3, 4])
+    np.testing.assert_array_equal(d.y.col, [0, 2, 1, 0])
+    # popularity: item0 twice, items 1,2 once each, normalized
+    np.testing.assert_allclose(d.popular, [0.5, 0.25, 0.25])
+    assert d.x_fid.shape[0] == 6
+
+
+def test_read_item_side(tmp_path):
+    path = _write(tmp_path, "item.ffm", SAMPLE_ITEM)
+    d = read_data(path, has_label=False)
+    assert d.m == 3 and d.f == 1 and d.y is None
+
+
+def test_ds_filter_drops_unseen(tmp_path):
+    # train dims: field0 -> 2 (idx 0,1), field1 -> 4 (idx 0..3)
+    tr = _write(tmp_path, "tr.ffm", SAMPLE_TRAIN)
+    dtr = read_data(tr, has_label=True)
+    ftr = split_fields(dtr)
+    assert ftr.Ds == [2, 4]
+    te = _write(tmp_path, "te.ffm", "1 0:5:1 1:2:1\n0 2:0:1\n")
+    dte = read_data(te, has_label=True, ds=ftr.Ds)
+    # 0:5 dropped (idx >= 2), 2:0 dropped (field beyond train fields),
+    # but f still counts the dropped field id (reference ffm.cpp:103-104)
+    assert dte.f == 3
+    assert dte.x_fid.tolist() == [1]
+    fte = split_fields(dte, f_override=ftr.f)
+    assert fte.f == 2
+
+
+def test_split_fields(tmp_path):
+    path = _write(tmp_path, "tr.ffm", SAMPLE_TRAIN)
+    d = read_data(path, has_label=True)
+    fd = split_fields(d)
+    assert fd.f == 2
+    np.testing.assert_array_equal(fd.indptr[0], [0, 1, 2, 2])
+    np.testing.assert_array_equal(fd.idx[0], [0, 1])
+    np.testing.assert_array_equal(fd.indptr[1], [0, 1, 3, 4])
+    np.testing.assert_array_equal(fd.idx[1], [3, 0, 1, 2])
+    np.testing.assert_allclose(fd.val[1], [0.5, 1, 2, 1])
+    np.testing.assert_array_equal(fd.freq[1], [1, 1, 1, 1])
+    np.testing.assert_array_equal(fd.row_nnz(), [2, 3, 1])
+
+
+def test_trans_y(tmp_path):
+    path = _write(tmp_path, "tr.ffm", SAMPLE_TRAIN)
+    d = read_data(path, has_label=True)
+    vy = trans_y(d.y, n_items=3)
+    # item->user: item0 <- users {0, 2}; item1 <- user 1; item2 <- user 0
+    np.testing.assert_array_equal(vy.indptr, [0, 2, 3, 4])
+    np.testing.assert_array_equal(vy.col, [0, 2, 1, 0])
+    # labels with idx >= n_items are dropped
+    vy2 = trans_y(d.y, n_items=2)
+    assert vy2.nnz == 3
+
+
+def test_pad_fields_roundtrip(tmp_path):
+    path = _write(tmp_path, "tr.ffm", SAMPLE_TRAIN)
+    fd = split_fields(read_data(path, has_label=True))
+    pf = pad_fields(fd, row_multiple=4)
+    assert pf.m == 4 and pf.m_true == 3
+    # projection through padded arrays == dense X @ W for a random table
+    rngv = np.random.default_rng(0)
+    for fi in range(fd.f):
+        W = rngv.normal(size=(fd.Ds[fi], 3))
+        dense = np.zeros((fd.m, fd.Ds[fi]))
+        for i in range(fd.m):
+            s, e = fd.indptr[fi][i], fd.indptr[fi][i + 1]
+            dense[i, fd.idx[fi][s:e]] = fd.val[fi][s:e]
+        P_dense = dense @ W
+        gathered = W[pf.idx[fi]] * pf.val[fi][:, :, None]
+        P_pad = gathered.sum(axis=1)
+        np.testing.assert_allclose(P_pad[:3], P_dense, atol=1e-12)
+        np.testing.assert_allclose(P_pad[3:], 0, atol=1e-12)
+
+
+def test_pad_labels(tmp_path):
+    path = _write(tmp_path, "tr.ffm", SAMPLE_TRAIN)
+    d = read_data(path, has_label=True)
+    pl = pad_labels(d.y, m_pad=4, n_pad=3, nnz_multiple=8)
+    assert pl.nnz == 8 and pl.nnz_true == 4
+    assert pl.w.sum() == 4
+    np.testing.assert_array_equal(pl.count_u[:3], [2, 1, 1])
+    np.testing.assert_array_equal(pl.count_v, [2, 1, 1])
+    assert (pl.u[4:] == 3).all() and (pl.v[4:] == 3).all()
