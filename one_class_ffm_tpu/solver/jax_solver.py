@@ -1,0 +1,533 @@
+"""TPU-native alternating Gauss-Newton solver for one-class FFM.
+
+This is the JAX re-design of the reference solver core (ImpProblem,
+reference ffm.cpp:314-870).  Same math, different architecture:
+
+  * the C++ stores residuals inside mutable label nodes and updates them in
+    place (ffm.cpp:388-403, 405-465); here the residual vector ``yt`` over the
+    flat COO positive stream is *carried functionally* through the epoch and
+    updated with pure array ops.
+  * OpenMP parallel-for over rows (ffm.cpp:328,572,...) becomes batched
+    matmul / segment_sum primitives that XLA maps onto the MXU and that GSPMD
+    can shard over a device mesh (rows on the ``data`` axis).
+  * the two adjacency copies (U->V and V->U, transY ffm.cpp:259-294) are
+    replaced by a single COO stream segment-summed by either endpoint.
+  * per-block conjugate gradient (ffm.cpp:744-813) is a ``lax.while_loop``
+    with the reference's exact stopping rule (||r||^2 <= 0.09 ||g||^2, cap 20).
+
+The omega-weighted full m x n negative term is never materialized: per-row
+sums use ``n (a_i - r) + sum(b) + sa_i`` and k x k Grams Q_c^T Q1 exactly as
+the reference does (cache_sasb ffm.cpp:514-535, gd_cross ffm.cpp:658-670).
+
+Everything in this file is functionally pure and jittable end-to-end; one
+epoch is one XLA computation.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import PaddedFields, PaddedLabels
+from ..models.blocks import BlockInfo, BlockLayout
+from .params import HyperParams
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Device-side problem container
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ProblemMeta:
+    """Static (hashable) problem description closed over by jitted fns."""
+
+    layout: BlockLayout
+    hp: HyperParams
+    m: int  # padded user rows
+    n: int  # padded item rows
+    m_true: int
+    n_true: int
+    nnz: int  # padded positive count
+    dtype: Any = jnp.float32
+
+
+def make_device_data(
+    u: PaddedFields,
+    v: PaddedFields,
+    y: PaddedLabels,
+    layout: BlockLayout,
+    hp: HyperParams,
+    dtype=jnp.float32,
+) -> Tuple[ProblemMeta, Dict[str, Any]]:
+    """Assemble the device array dict + static meta from host padded views.
+
+    ``data`` layout (all jnp arrays):
+      xu_idx/xu_val: per user field (m, p_f)
+      xv_idx/xv_val: per item field (n, p_f)
+      pos_u/pos_v:   (nnz,) COO positive endpoints (ghost rows for pads)
+      pos_w:         (nnz,) 1.0 real / 0.0 pad mask
+      cnt_u/cnt_v:   per-row positive counts |Omega+_i|
+      reg_u/reg_v:   per field (D_f,) lambda row weights (freq or ones)
+    """
+    meta = ProblemMeta(
+        layout=layout,
+        hp=hp,
+        m=u.m,
+        n=v.m,
+        m_true=u.m_true,
+        n_true=v.m_true,
+        nnz=y.nnz,
+        dtype=dtype,
+    )
+
+    def regs(pf: PaddedFields):
+        if hp.freq:
+            return tuple(jnp.asarray(fr, dtype) for fr in pf.freq)
+        return tuple(jnp.ones(d, dtype) for d in pf.Ds)
+
+    data = dict(
+        xu_idx=tuple(jnp.asarray(a) for a in u.idx),
+        xu_val=tuple(jnp.asarray(a, dtype) for a in u.val),
+        xv_idx=tuple(jnp.asarray(a) for a in v.idx),
+        xv_val=tuple(jnp.asarray(a, dtype) for a in v.val),
+        pos_u=jnp.asarray(y.u),
+        pos_v=jnp.asarray(y.v),
+        pos_w=jnp.asarray(y.w, dtype),
+        cnt_u=jnp.asarray(y.count_u, dtype),
+        cnt_v=jnp.asarray(y.count_v, dtype),
+        reg_u=None,
+        reg_v=None,
+    )
+    data["reg_u"] = regs(u)
+    data["reg_v"] = regs(v)
+    return meta, data
+
+
+# ---------------------------------------------------------------------------
+# Sparse kernels: projection and scatter (the UTx / X^T z analogs)
+# ---------------------------------------------------------------------------
+
+
+def project(idx: Array, val: Array, W: Array) -> Array:
+    """P = X W for a padded field: (m,p) x (D,k) -> (m,k).
+
+    The gather-FMA at the heart of everything (reference UTx/UTX,
+    ffm.cpp:314-331).  Pad slots have val == 0 so they vanish.
+    """
+    return jnp.einsum("mp,mpk->mk", val, W[idx])
+
+
+def scatter(idx: Array, val: Array, Z: Array, d: int) -> Array:
+    """G = X^T Z for a padded field: (m,p) x (m,k) -> (D,k).
+
+    The gradient scatter-add (transpose of ``project``); pad slots carry
+    val == 0 and idx == 0 so they add zeros to row 0.
+    """
+    k = Z.shape[-1]
+    flat_idx = idx.reshape(-1)
+    data = (val[..., None] * Z[:, None, :]).reshape(-1, k)
+    return jax.ops.segment_sum(data, flat_idx, num_segments=d)
+
+
+def seg_sum(data: Array, ids: Array, num: int) -> Array:
+    return jax.ops.segment_sum(data, ids, num_segments=num)
+
+
+# ---------------------------------------------------------------------------
+# Solver
+# ---------------------------------------------------------------------------
+
+
+class FFMSolver:
+    """Functional solver bound to one problem instance.
+
+    Usage:
+        solver = FFMSolver(meta, data)
+        state = solver.init(jax.random.key(0))
+        state = solver.epoch(state)          # jitted end-to-end
+    """
+
+    def __init__(self, meta: ProblemMeta, data: Dict[str, Any]):
+        self.meta = meta
+        self.data = data
+        self.blocks: List[BlockInfo] = meta.layout.all_blocks()
+        self._epoch = jax.jit(self._epoch_impl)
+
+    # -- field array accessors ------------------------------------------------
+
+    def _side_arrays(self, b: BlockInfo, first: bool):
+        """(idx, val, reg, rows) for the block's f1 (first) or f2 side."""
+        fg = b.f1 if first else b.f2
+        fl = b.fi if first else b.fj
+        d = self.data
+        if fg < self.meta.layout.fu:
+            return d["xu_idx"][fl], d["xu_val"][fl], d["reg_u"][fl], self.meta.m
+        return d["xv_idx"][fl], d["xv_val"][fl], d["reg_v"][fl], self.meta.n
+
+    # -- init -----------------------------------------------------------------
+
+    def init(self, key: Array) -> Dict[str, Any]:
+        """Random block tables + all caches (reference init, ffm.cpp:467-512).
+
+        Tables ~ U(-0.1/sqrt(k), 0.1/sqrt(k)) (init_mat, ffm.cpp:71-78).
+        """
+        meta = self.meta
+        k = meta.hp.k
+        scale = 0.1 / np.sqrt(k)
+        params: Dict[int, Dict[str, Array]] = {}
+        for b in self.blocks:
+            key, k1, k2 = jax.random.split(key, 3)
+            params[b.f12] = dict(
+                W=jax.random.uniform(
+                    k1, (b.d1, k), meta.dtype, minval=-scale, maxval=scale
+                ),
+                H=jax.random.uniform(
+                    k2, (b.d2, k), meta.dtype, minval=-scale, maxval=scale
+                ),
+            )
+        return self.refresh_caches({"params": params})
+
+    def refresh_caches(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        """(Re)build P/Q, side sums a/b and the positive residual yt from
+        params — used at init and after loading a checkpoint."""
+        params = state["params"]
+        P, Q = {}, {}
+        for b in self.blocks:
+            i1, v1, _, _ = self._side_arrays(b, True)
+            i2, v2, _, _ = self._side_arrays(b, False)
+            P[b.f12] = project(i1, v1, params[b.f12]["W"])
+            Q[b.f12] = project(i2, v2, params[b.f12]["H"])
+        a, b_vec = self._side_sums(P, Q)
+        yt = self._pos_scores(P, Q, a, b_vec) - 1.0
+        return dict(params=params, P=P, Q=Q, a=a, b=b_vec, yt=yt)
+
+    def _side_sums(self, P, Q) -> Tuple[Array, Array]:
+        """a_i / b_j self-interaction sums (calc_side, ffm.cpp:360-373)."""
+        meta = self.meta
+        a = jnp.zeros(meta.m, meta.dtype)
+        b_vec = jnp.zeros(meta.n, meta.dtype)
+        for blk in meta.layout.user_self_blocks():
+            a = a + jnp.sum(P[blk.f12] * Q[blk.f12], axis=1)
+        for blk in meta.layout.item_self_blocks():
+            b_vec = b_vec + jnp.sum(P[blk.f12] * Q[blk.f12], axis=1)
+        return a, b_vec
+
+    def _pos_scores(self, P, Q, a, b_vec) -> Array:
+        """yhat at every positive pair (init_y_tilde, ffm.cpp:388-403)."""
+        d = self.data
+        u, v = d["pos_u"], d["pos_v"]
+        z = a[u] + b_vec[v]
+        for blk in self.meta.layout.cross_blocks():
+            z = z + jnp.sum(P[blk.f12][u] * Q[blk.f12][v], axis=1)
+        return z
+
+    # -- ω-term rank-k caches -------------------------------------------------
+
+    def _cache_sasb(self, P, Q) -> Tuple[Array, Array]:
+        """sa_i = sum_j cross(i,j), sb_j = sum_i cross(i,j) via (Q^T 1) chains
+        (cache_sasb, ffm.cpp:514-535) — O((m+n)k) per cross block."""
+        meta = self.meta
+        sa = jnp.zeros(meta.m, meta.dtype)
+        sb = jnp.zeros(meta.n, meta.dtype)
+        for blk in meta.layout.cross_blocks():
+            Pb, Qb = P[blk.f12], Q[blk.f12]
+            sa = sa + Pb @ jnp.sum(Qb, axis=0)
+            sb = sb + Qb @ jnp.sum(Pb, axis=0)
+        return sa, sb
+
+    # -- gradients ------------------------------------------------------------
+
+    def _pos_coeff(self, yt: Array) -> Array:
+        """Per-positive gradient coefficient (1-w)*yt - w*(1-r): the exact
+        decomposition the reference uses everywhere (ffm.cpp:577-579,684)."""
+        hp = self.meta.hp
+        return (1.0 - hp.omega) * yt - hp.omega * (1.0 - hp.r)
+
+    def _grad_self(self, state, b: BlockInfo, first: bool, sa, sb) -> Array:
+        """Gradient for one table of a self block (gd_side, ffm.cpp:537-592).
+
+        z_i = w [ n (a_i - r) + sum(b) + sa_i ] + sum_{j in pos_i} c_ij
+        G   = lam * reg * T + X1^T diag(z) Q1
+        """
+        meta, d = self.meta, self.data
+        hp = meta.hp
+        f12 = b.f12
+        i1, v1, reg, rows = self._side_arrays(b, first)
+        T = state["params"][f12]["W" if first else "H"]
+        Q1 = state["Q"][f12] if first else state["P"][f12]
+        c = self._pos_coeff(state["yt"]) * d["pos_w"]
+        # Padded rows of a/b/P/Q are exactly zero, so full-array sums equal
+        # true-row sums — keeps every reduction GSPMD-shardable.
+        if b.kind == "uu":
+            n_other = meta.n_true
+            side = state["a"]
+            s_cache = sa
+            other_sum = jnp.sum(state["b"])
+            zpos = seg_sum(c, d["pos_u"], meta.m)
+        else:  # vv
+            n_other = meta.m_true
+            side = state["b"]
+            s_cache = sb
+            other_sum = jnp.sum(state["a"])
+            zpos = seg_sum(c, d["pos_v"], meta.n)
+        z = hp.omega * (n_other * (side - hp.r) + other_sum + s_cache) + zpos
+        return hp.lam * reg[:, None] * T + scatter(i1, v1, z[:, None] * Q1, T.shape[0])
+
+    def _grad_cross(self, state, b: BlockInfo, first: bool) -> Array:
+        """Gradient for one table of a cross block (gd_cross, ffm.cpp:630-703).
+
+        omega part via k x k Grams: T = sum_c P_c (Q_c^T Q1), oQ = Q1^T 1,
+        bQ = Q1^T b  (ffm.cpp:658-670); positive part via segment_sum.
+        """
+        meta, d = self.meta, self.data
+        hp = meta.hp
+        f12 = b.f12
+        i1, v1, reg, rows = self._side_arrays(b, first)
+        T = state["params"][f12]["W" if first else "H"]
+        c = self._pos_coeff(state["yt"]) * d["pos_w"]
+        if first:
+            Q1 = state["Q"][f12]  # (n, k)
+            oQ = jnp.sum(Q1, axis=0)
+            bQ = Q1.T @ state["b"]
+            gram_T = jnp.zeros((meta.m, hp.k), meta.dtype)
+            for blk in meta.layout.cross_blocks():
+                gram = state["Q"][blk.f12].T @ Q1  # (k, k)
+                gram_T = gram_T + state["P"][blk.f12] @ gram
+            dense = hp.omega * (
+                (state["a"] - hp.r)[:, None] * oQ[None, :] + bQ[None, :] + gram_T
+            )
+            zpos = seg_sum(c[:, None] * Q1[d["pos_v"]], d["pos_u"], meta.m)
+        else:
+            P1 = state["P"][f12]  # (m, k)
+            oQ = jnp.sum(P1, axis=0)
+            bQ = P1.T @ state["a"]
+            gram_T = jnp.zeros((meta.n, hp.k), meta.dtype)
+            for blk in meta.layout.cross_blocks():
+                gram = state["P"][blk.f12].T @ P1
+                gram_T = gram_T + state["Q"][blk.f12] @ gram
+            dense = hp.omega * (
+                (state["b"] - hp.r)[:, None] * oQ[None, :] + bQ[None, :] + gram_T
+            )
+            zpos = seg_sum(c[:, None] * P1[d["pos_u"]], d["pos_v"], meta.n)
+        Z = dense + zpos
+        return hp.lam * reg[:, None] * T + scatter(i1, v1, Z, T.shape[0])
+
+    # -- Hessian-vector products ---------------------------------------------
+
+    def _hv_self(self, state, b: BlockInfo, first: bool):
+        """Hv closure for a self-block table (hs_side, ffm.cpp:594-628):
+        d_i = (1-w)|pos_i| + w*n;  Hv = lam reg V + X1^T diag(d <Q1,Phi>) Q1.
+        """
+        meta, d = self.meta, self.data
+        hp = meta.hp
+        i1, v1, reg, rows = self._side_arrays(b, first)
+        Q1 = state["Q"][b.f12] if first else state["P"][b.f12]
+        if b.kind == "uu":
+            dd = (1.0 - hp.omega) * d["cnt_u"] + hp.omega * meta.n_true
+        else:
+            dd = (1.0 - hp.omega) * d["cnt_v"] + hp.omega * meta.m_true
+        dim = (state["params"][b.f12]["W" if first else "H"]).shape[0]
+
+        def hv(V: Array) -> Array:
+            phi = project(i1, v1, V)
+            s = dd * jnp.sum(Q1 * phi, axis=1)
+            return hp.lam * reg[:, None] * V + scatter(i1, v1, s[:, None] * Q1, dim)
+
+        return hv
+
+    def _hv_cross(self, state, b: BlockInfo, first: bool):
+        """Hv closure for a cross-block table (hs_cross, ffm.cpp:706-742):
+        omega part via precomputed Q1^T Q1 (ffm.cpp:767-771); (1-w) part per
+        positive."""
+        meta, d = self.meta, self.data
+        hp = meta.hp
+        i1, v1, reg, rows = self._side_arrays(b, first)
+        if first:
+            Q1 = state["Q"][b.f12]
+            own, other = d["pos_u"], d["pos_v"]
+            num = meta.m
+        else:
+            Q1 = state["P"][b.f12]
+            own, other = d["pos_v"], d["pos_u"]
+            num = meta.n
+        QTQ = Q1.T @ Q1  # pad rows are zero; full Gram == true-row Gram
+        dim = (state["params"][b.f12]["W" if first else "H"]).shape[0]
+        w_pos = d["pos_w"]
+
+        def hv(V: Array) -> Array:
+            phi = project(i1, v1, V)  # (rows, k)
+            dense = hp.omega * (phi @ QTQ)
+            pq = jnp.sum(phi[own] * Q1[other], axis=1) * w_pos
+            zp = seg_sum(
+                ((1.0 - hp.omega) * pq)[:, None] * Q1[other], own, num
+            )
+            return hp.lam * reg[:, None] * V + scatter(i1, v1, dense + zp, dim)
+
+        return hv
+
+    # -- conjugate gradient ---------------------------------------------------
+
+    def _cg(self, hv, G: Array) -> Array:
+        """Newton-step CG (cg, ffm.cpp:744-813): S = argmin quadratic; stop
+        when ||r||^2 <= cg_eps ||g||^2 or after cg_max_iter iterations."""
+        hp = self.meta.hp
+        g2 = jnp.sum(G * G)
+
+        def cond(carry):
+            S, R, V, r2, it = carry
+            return jnp.logical_and(r2 > hp.cg_eps * g2, it < hp.cg_max_iter)
+
+        def body(carry):
+            S, R, V, r2, it = carry
+            Hv = hv(V)
+            alpha = r2 / jnp.sum(V * Hv)
+            S = S + alpha * V
+            R = R - alpha * Hv
+            r2_new = jnp.sum(R * R)
+            V = R + (r2_new / r2) * V
+            return S, R, V, r2_new, it + 1
+
+        S0 = jnp.zeros_like(G)
+        init = (S0, -G, -G, g2, jnp.asarray(0, jnp.int32))
+        S, *_ = jax.lax.while_loop(cond, body, init)
+        return S
+
+    # -- block updates (incremental cache refresh) ----------------------------
+
+    def _apply_step(self, state, b: BlockInfo, first: bool, S: Array):
+        """Apply the Newton step and refresh P/Q, a/b, yt functionally
+        (update_side ffm.cpp:405-437, update_cross ffm.cpp:439-465)."""
+        d = self.data
+        f12 = b.f12
+        key = "W" if first else "H"
+        i1, v1, _, _ = self._side_arrays(b, first)
+        state = dict(state)
+        params = dict(state["params"])
+        blk_params = dict(params[f12])
+        blk_params[key] = blk_params[key] + S
+        params[f12] = blk_params
+        state["params"] = params
+
+        dP = project(i1, v1, S)
+        cache_key = "P" if first else "Q"
+        caches = dict(state[cache_key])
+        caches[f12] = caches[f12] + dP
+        state[cache_key] = caches
+
+        other = state["Q"][f12] if first else state["P"][f12]
+        if b.kind == "uu":
+            da = jnp.sum(dP * other, axis=1)
+            state["a"] = state["a"] + da
+            state["yt"] = state["yt"] + da[d["pos_u"]]
+        elif b.kind == "vv":
+            db = jnp.sum(dP * other, axis=1)
+            state["b"] = state["b"] + db
+            state["yt"] = state["yt"] + db[d["pos_v"]]
+        else:
+            own_ids = d["pos_u"] if first else d["pos_v"]
+            oth_ids = d["pos_v"] if first else d["pos_u"]
+            gap = jnp.sum(dP[own_ids] * other[oth_ids], axis=1)
+            state["yt"] = state["yt"] + gap * d["pos_w"]
+        return state
+
+    # -- per-block solve ------------------------------------------------------
+
+    def _solve_half(self, state, b: BlockInfo, first: bool, sa, sb):
+        if b.kind == "uv":
+            G = self._grad_cross(state, b, first)
+            hv = self._hv_cross(state, b, first)
+        else:
+            G = self._grad_self(state, b, first, sa, sb)
+            hv = self._hv_self(state, b, first)
+        S = self._cg(hv, G)
+        return self._apply_step(state, b, first, S)
+
+    # -- epoch ----------------------------------------------------------------
+
+    def _epoch_impl(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        """One alternating sweep in reference order (one_epoch,
+        ffm.cpp:852-870): user self blocks, item self blocks, cross blocks;
+        within each block the f1 table then the f2 table (ffm.cpp:815-850).
+
+        sa/sb are refreshed once per epoch (the reference refreshes at epoch
+        end, ffm.cpp:869 — refreshing at epoch start is identical since only
+        self-block gradients read them and cross updates happen after)."""
+        sa, sb = self._cache_sasb(state["P"], state["Q"])
+        for b in self.meta.layout.epoch_order():
+            state = self._solve_half(state, b, True, sa, sb)
+            state = self._solve_half(state, b, False, sa, sb)
+        return state
+
+    def epoch(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        return self._epoch(state)
+
+    # -- diagnostics ----------------------------------------------------------
+
+    def objective(self, state: Dict[str, Any]) -> Array:
+        """Exact loss via the rank-k decomposition (matches the reference's
+        brute-force func(), ffm.cpp:1321-1351, without materializing m x n).
+
+        sum_all w (yhat - r)^2 = w [ sum_ij (a_i + b_j + cross_ij - r)^2 ]
+        expanded with Gram matrices; positives corrected via yt.
+        """
+        meta, d = self.meta, self.data
+        hp = meta.hp
+        P, Q, a, b_vec, yt = (
+            state["P"],
+            state["Q"],
+            state["a"],
+            state["b"],
+            state["yt"],
+        )
+        m, n = meta.m_true, meta.n_true
+        at = a[:m]
+        bt = b_vec[:n]
+        cross_blocks = meta.layout.cross_blocks()
+        # sum over all pairs of yhat_ij and yhat_ij^2, using
+        # yhat = (a_i - r/2) + (b_j - r/2) + sum_c <P_ci, Q_cj>  shifted by r:
+        # compute E1 = sum (yhat - r), E2 = sum (yhat - r)^2.
+        alpha = at - hp.r  # fold r into the user side
+        sumP = {c.f12: jnp.sum(P[c.f12][:m], axis=0) for c in cross_blocks}
+        sumQ = {c.f12: jnp.sum(Q[c.f12][:n], axis=0) for c in cross_blocks}
+        sa = jnp.zeros(m, meta.dtype)
+        for c in cross_blocks:
+            sa = sa + P[c.f12][:m] @ sumQ[c.f12]
+        # E2 = sum_i sum_j (alpha_i + b_j + s_ij)^2 where s_ij = sum_c <P,Q>
+        #    = n sum alpha^2 + m sum b^2 + sum s^2 + 2 sum_i alpha_i sum_j b_j
+        #      + 2 sum_ij (alpha_i + b_j) s_ij
+        sum_alpha = jnp.sum(alpha)
+        sum_b = jnp.sum(bt)
+        e2 = n * jnp.sum(alpha**2) + m * jnp.sum(bt**2)
+        e2 = e2 + 2.0 * sum_alpha * sum_b
+        # sum_ij s_ij^2 = sum_{c,c'} <P_c^T P_c', Q_c^T Q_c'>
+        for c1 in cross_blocks:
+            for c2 in cross_blocks:
+                PG = P[c1.f12][:m].T @ P[c2.f12][:m]
+                QG = Q[c1.f12][:n].T @ Q[c2.f12][:n]
+                e2 = e2 + jnp.sum(PG * QG)
+        # 2 sum_ij alpha_i s_ij + 2 sum_ij b_j s_ij
+        for c in cross_blocks:
+            e2 = e2 + 2.0 * (alpha @ (P[c.f12][:m] @ sumQ[c.f12]))
+            e2 = e2 + 2.0 * (bt @ (Q[c.f12][:n] @ sumP[c.f12]))
+        # positives: replace w (yhat - r)^2 by (yhat - 1)^2
+        w = d["pos_w"]
+        y_minus_r = yt + (1.0 - hp.r)
+        loss = hp.omega * (e2 - jnp.sum(w * y_minus_r**2)) + jnp.sum(w * yt**2)
+        for b in self.blocks:
+            _, _, reg1, _ = self._side_arrays(b, True)
+            _, _, reg2, _ = self._side_arrays(b, False)
+            loss = loss + hp.lam * jnp.sum(
+                reg1[:, None] * state["params"][b.f12]["W"] ** 2
+            )
+            loss = loss + hp.lam * jnp.sum(
+                reg2[:, None] * state["params"][b.f12]["H"] ** 2
+            )
+        return 0.5 * loss

@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# The axon TPU plugin (sitecustomize) forces jax_platforms="axon,cpu" at
+# interpreter start, overriding the env var — force CPU back explicitly so
+# tests run on the virtual 8-device CPU mesh, not through the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -73,3 +77,72 @@ def make_problem(
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def dense_to_padded(X, m_pad=None, dtype=np.float64):
+    """Dense (m, d) -> padded (idx, val) arrays with per-row nonzeros."""
+    m, d = X.shape
+    m_pad = m if m_pad is None else m_pad
+    nnz_rows = [np.nonzero(X[i])[0] for i in range(m)]
+    p = max(1, max(len(r) for r in nnz_rows))
+    idx = np.zeros((m_pad, p), dtype=np.int32)
+    val = np.zeros((m_pad, p), dtype=dtype)
+    for i, cols in enumerate(nnz_rows):
+        idx[i, : len(cols)] = cols
+        val[i, : len(cols)] = X[i, cols]
+    return idx, val
+
+
+def to_device_problem(prob, row_pad=0, dtype=np.float64):
+    """OracleProblem -> (meta, data) for FFMSolver, optionally padding rows."""
+    import jax.numpy as jnp
+    from one_class_ffm_tpu.data.dataset import PaddedFields, PaddedLabels
+    from one_class_ffm_tpu.solver.jax_solver import make_device_data
+
+    m, n = prob.m, prob.n
+    m_pad, n_pad = m + row_pad, n + row_pad
+
+    def side(Xs, freqs, mp):
+        pads = [dense_to_padded(X, mp, dtype) for X in Xs]
+        return PaddedFields(
+            m=mp,
+            m_true=Xs[0].shape[0],
+            f=len(Xs),
+            Ds=tuple(X.shape[1] for X in Xs),
+            idx=tuple(p[0] for p in pads),
+            val=tuple(p[1] for p in pads),
+            freq=tuple(f.astype(dtype) for f in freqs),
+            row_nnz=np.asarray(
+                sum((X != 0).sum(axis=1) for X in Xs).tolist() + [0] * (mp - Xs[0].shape[0]),
+                dtype=np.int32,
+            ),
+        )
+
+    u = side(prob.Xu, prob.freq_u, m_pad)
+    v = side(prob.Xv, prob.freq_v, n_pad)
+    uu, vv = np.nonzero(prob.pos)
+    nnz_true = uu.size
+    nnz = nnz_true + (3 if row_pad else 0)
+    pu = np.full(nnz, m, dtype=np.int32)
+    pv = np.full(nnz, n, dtype=np.int32)
+    pw = np.zeros(nnz, dtype=dtype)
+    pu[:nnz_true] = uu
+    pv[:nnz_true] = vv
+    pw[:nnz_true] = 1.0
+    cu = np.zeros(m_pad, dtype=dtype)
+    cv = np.zeros(n_pad, dtype=dtype)
+    np.add.at(cu, uu, 1.0)
+    np.add.at(cv, vv, 1.0)
+    y = PaddedLabels(
+        nnz=nnz, nnz_true=nnz_true, u=pu, v=pv, w=pw, count_u=cu, count_v=cv
+    )
+    return make_device_data(u, v, y, prob.layout, prob.hp, dtype=jnp.float64)
+
+
+def oracle_params_to_jax(params):
+    import jax.numpy as jnp
+
+    return {
+        f12: {"W": jnp.asarray(params["W"][f12]), "H": jnp.asarray(params["H"][f12])}
+        for f12 in params["W"]
+    }

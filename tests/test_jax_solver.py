@@ -1,0 +1,152 @@
+"""JAX solver vs the fp64 numpy oracle: gradients, Hv, CG steps, full epochs.
+
+The oracle brute-forces everything from the dense residual matrix
+(solver/oracle.py); the JAX solver uses the rank-k algebra (segment sums,
+k x k Grams, incremental residuals).  Agreement on random tiny problems is a
+strong end-to-end check of the fast math (reference ffm.cpp:314-870).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import make_problem, oracle_params_to_jax, to_device_problem
+from one_class_ffm_tpu.solver import oracle
+from one_class_ffm_tpu.solver.jax_solver import FFMSolver
+
+
+def build(rng, row_pad=0, **kw):
+    prob, params = make_problem(rng, **kw)
+    meta, data = to_device_problem(prob, row_pad=row_pad)
+    solver = FFMSolver(meta, data)
+    state = solver.refresh_caches({"params": oracle_params_to_jax(params)})
+    return prob, params, solver, state
+
+
+CONFIGS = [
+    dict(),  # ffm, self blocks
+    dict(self_side=False),  # ffm --ns
+    dict(freq=True),  # freq-weighted lambda
+    dict(Du=(7,), Dv=(6,)),  # fm-like: one field per side
+    dict(Du=(7,), Dv=(6,), self_side=False),  # mf-like
+    dict(omega=1.0, r=0.0),  # degenerate: uniform weights
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS)
+def test_pos_residuals_match(rng, cfg):
+    prob, params, solver, state = build(rng, **cfg)
+    yh = oracle.predict_dense(prob, params)
+    uu, vv = np.nonzero(prob.pos)
+    got = np.asarray(state["yt"])[: uu.size]
+    np.testing.assert_allclose(got, yh[uu, vv] - 1.0, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("cfg", CONFIGS)
+@pytest.mark.parametrize("row_pad", [0, 3])
+def test_gradients_match_oracle(rng, cfg, row_pad):
+    prob, params, solver, state = build(rng, row_pad=row_pad, **cfg)
+    sa, sb = solver._cache_sasb(state["P"], state["Q"])
+    for b in prob.layout.all_blocks():
+        for first in (True, False):
+            G_ref, _ = oracle.grad_and_hv(prob, params, b, first)
+            if b.kind == "uv":
+                G = solver._grad_cross(state, b, first)
+            else:
+                G = solver._grad_self(state, b, first, sa, sb)
+            np.testing.assert_allclose(
+                np.asarray(G), G_ref, rtol=1e-8, atol=1e-10,
+                err_msg=f"block {b} first={first}",
+            )
+
+
+@pytest.mark.parametrize("cfg", CONFIGS[:3])
+def test_hessian_vector_match_oracle(rng, cfg):
+    prob, params, solver, state = build(rng, **cfg)
+    for b in prob.layout.all_blocks():
+        for first in (True, False):
+            _, hv_ref = oracle.grad_and_hv(prob, params, b, first)
+            if b.kind == "uv":
+                hv = solver._hv_cross(state, b, first)
+            else:
+                hv = solver._hv_self(state, b, first)
+            d = b.d1 if first else b.d2
+            V = rng.normal(size=(d, prob.hp.k))
+            np.testing.assert_allclose(
+                np.asarray(hv(jnp.asarray(V))), hv_ref(V),
+                rtol=1e-8, atol=1e-10, err_msg=f"block {b} first={first}",
+            )
+
+
+@pytest.mark.parametrize("cfg", CONFIGS)
+def test_objective_matches_oracle(rng, cfg):
+    prob, params, solver, state = build(rng, **cfg)
+    ref = oracle.objective(prob, params)
+    got = float(solver.objective(state))
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+@pytest.mark.parametrize("cfg", CONFIGS)
+@pytest.mark.parametrize("row_pad", [0, 3])
+def test_full_epoch_matches_oracle(rng, cfg, row_pad):
+    # disable_jit: math-parity check without paying XLA compile per config;
+    # test_epoch_jitted_end_to_end covers the compiled path once.
+    prob, params, solver, state = build(rng, row_pad=row_pad, **cfg)
+    ref_params = oracle.oracle_epoch(prob, params)
+    with jax.disable_jit():
+        state2 = solver.epoch(state)
+    for f12 in ref_params["W"]:
+        np.testing.assert_allclose(
+            np.asarray(state2["params"][f12]["W"]), ref_params["W"][f12],
+            rtol=1e-6, atol=1e-9, err_msg=f"W block {f12}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(state2["params"][f12]["H"]), ref_params["H"][f12],
+            rtol=1e-6, atol=1e-9, err_msg=f"H block {f12}",
+        )
+
+
+def test_epoch_jitted_end_to_end(rng):
+    """One config through the real jitted epoch — compile + numerics."""
+    prob, params, solver, state = build(rng)
+    ref_params = oracle.oracle_epoch(prob, params)
+    state2 = solver.epoch(state)
+    for f12 in ref_params["W"]:
+        np.testing.assert_allclose(
+            np.asarray(state2["params"][f12]["W"]), ref_params["W"][f12],
+            rtol=1e-6, atol=1e-9,
+        )
+
+
+def test_caches_consistent_after_epochs(rng):
+    """After several epochs the carried caches must equal a fresh rebuild."""
+    prob, params, solver, state = build(rng)
+    with jax.disable_jit():
+        for _ in range(3):
+            state = solver.epoch(state)
+    fresh = solver.refresh_caches({"params": state["params"]})
+    np.testing.assert_allclose(
+        np.asarray(state["a"]), np.asarray(fresh["a"]), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(state["b"]), np.asarray(fresh["b"]), rtol=1e-8, atol=1e-10
+    )
+    w = np.asarray(solver.data["pos_w"])
+    np.testing.assert_allclose(
+        np.asarray(state["yt"]) * w, np.asarray(fresh["yt"]) * w,
+        rtol=1e-8, atol=1e-10,
+    )
+
+
+def test_objective_decreases_over_epochs(rng):
+    prob, params, solver, state = build(rng)
+    with jax.disable_jit():
+        losses = [float(solver.objective(state))]
+        for _ in range(5):
+            state = solver.epoch(state)
+            losses.append(float(solver.objective(state)))
+    assert losses[-1] < losses[0]
+    # Gauss-Newton on an exactly quadratic subproblem: monotone decrease.
+    for prev, nxt in zip(losses, losses[1:]):
+        assert nxt <= prev + 1e-9
