@@ -1,0 +1,121 @@
+"""Command-line interface, flag-compatible with the reference trainer.
+
+Reference usage (train.cpp:34-51):
+    train [options] item_feature_file train_file
+    -l lambda, -t iters, -p test path, -o model save path, -w omega,
+    -r negative rating, -c threads, -k rank, --ns, --freq
+
+New flags: --seed, --dtype, --eval-every, --ckpt, --resume, --jsonl,
+--predict-topk.  ``-c`` maps to host thread hints (XLA manages device
+parallelism itself).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .train import TrainConfig, Trainer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ocffm",
+        description="TPU-native one-class FFM trainer",
+    )
+    p.add_argument("item_file", help="item feature file")
+    p.add_argument("train_file", help="training file (labels + user features)")
+    p.add_argument("-l", dest="lam", type=float, default=0.1,
+                   help="L2 regularization lambda (default 0.1)")
+    p.add_argument("-t", dest="nr_pass", type=int, default=20,
+                   help="number of epochs (default 20)")
+    p.add_argument("-p", dest="test_path", default=None, help="test set path")
+    p.add_argument("-o", dest="model_path", default=None,
+                   help="save model in reference text format")
+    p.add_argument("-w", dest="omega", type=float, default=0.1,
+                   help="negative-pair weight omega (default 0.1)")
+    p.add_argument("-r", dest="r", type=float, default=-1.0,
+                   help="imputed rating for negatives (default -1)")
+    p.add_argument("-c", dest="threads", type=int, default=0,
+                   help="host threads (0 = library default)")
+    p.add_argument("-k", dest="k", type=int, default=4, help="rank (default 4)")
+    p.add_argument("--ns", action="store_true",
+                   help="disable self-field interactions (cross blocks only)")
+    p.add_argument("--freq", action="store_true",
+                   help="frequency-weighted lambda")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64", "bfloat16"])
+    p.add_argument("--eval-every", type=int, default=10)
+    p.add_argument("--eval-chunk", type=int, default=1024)
+    p.add_argument("--ckpt", dest="ckpt_dir", default=None,
+                   help="native checkpoint directory (save + resume)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --ckpt if a checkpoint exists")
+    p.add_argument("--jsonl", dest="jsonl_path", default=None,
+                   help="append structured metrics JSONL here")
+    p.add_argument("--predict-topk", type=int, default=0,
+                   help="after training, print top-K item ids per test user")
+    return p
+
+
+def config_from_args(args) -> TrainConfig:
+    return TrainConfig(
+        item_path=args.item_file,
+        train_path=args.train_file,
+        test_path=args.test_path,
+        model_path=args.model_path,
+        ckpt_dir=args.ckpt_dir,
+        k=args.k,
+        lam=args.lam,
+        omega=args.omega,
+        r=args.r,
+        nr_pass=args.nr_pass,
+        self_side=not args.ns,
+        freq=args.freq,
+        seed=args.seed,
+        dtype=args.dtype,
+        eval_every=args.eval_every,
+        eval_chunk=args.eval_chunk,
+        jsonl_path=args.jsonl_path,
+        resume=args.resume,
+    )
+
+
+def main(argv=None) -> int:
+    import os
+
+    args = build_parser().parse_args(argv)
+    # Persistent XLA compilation cache: repeat invocations (sweeps, resume)
+    # skip recompiling the epoch/eval programs.
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "ocffm_xla"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    if args.threads:
+        os.environ.setdefault("XLA_CPU_MULTI_THREAD_EIGEN", "true")
+        os.environ.setdefault("OMP_NUM_THREADS", str(args.threads))
+    if args.k < 1:
+        build_parser().error(f"-k must be >= 1 (got {args.k})")
+    if args.nr_pass < 0:
+        build_parser().error(f"-t must be >= 0 (got {args.nr_pass})")
+    for path, what in [(args.item_file, "item file"), (args.train_file, "train file")] + (
+        [(args.test_path, "test file")] if args.test_path else []
+    ):
+        if not os.path.exists(path):
+            print(f"ocffm: error: {what} not found: {path}", file=sys.stderr)
+            return 1
+    cfg = config_from_args(args)
+    trainer = Trainer(cfg)
+    trainer.run()
+    if args.predict_topk and trainer.evaluator is not None:
+        top = trainer.predict_topk(k=args.predict_topk)
+        for row in top:
+            print(",".join(str(int(x)) for x in row))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,130 @@
+"""Synthetic one-class FFM dataset generator.
+
+Produces data in the reference text format (label list + ``fid:idx:val``)
+and, faster, directly as in-memory arrays — used by the end-to-end tests,
+the benchmark (BASELINE.json synthetic web-scale config), and as a stand-in
+for the KDD12/Outbrain/KKBox pipelines when raw Kaggle data is unavailable.
+
+The generative model plants a low-rank preference structure so ranking
+metrics move visibly during training: users/items get latent class ids and
+positives are sampled with in-class affinity.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class SynthSpec:
+    n_users: int = 1000
+    n_items: int = 200
+    fu: int = 2  # user fields
+    fv: int = 2  # item fields
+    dims_u: Optional[Tuple[int, ...]] = None  # default: (n_users, 50)
+    dims_v: Optional[Tuple[int, ...]] = None  # default: (n_items, 30)
+    avg_pos: float = 5.0  # positives per user
+    n_classes: int = 8
+    affinity: float = 0.8  # prob a positive stays in the user's class
+    max_extra_nnz: int = 2  # extra features per non-id field
+    seed: int = 0
+
+    def resolve(self):
+        du = self.dims_u or tuple(
+            [self.n_users] + [50] * (self.fu - 1)
+        )
+        dv = self.dims_v or tuple([self.n_items] + [30] * (self.fv - 1))
+        return du[: self.fu], dv[: self.fv]
+
+
+def generate(spec: SynthSpec):
+    """Returns (user_lines, item_lines): per-row (labels, feats) structures.
+
+    feats: list of (fid, idx, val).  Field 0 on each side is an id field
+    (mf-style); remaining fields carry class-correlated categorical features.
+    """
+    rng = np.random.default_rng(spec.seed)
+    du, dv = spec.resolve()
+    u_class = rng.integers(0, spec.n_classes, size=spec.n_users)
+    v_class = rng.integers(0, spec.n_classes, size=spec.n_items)
+    items_by_class: List[np.ndarray] = [
+        np.nonzero(v_class == c)[0] for c in range(spec.n_classes)
+    ]
+
+    user_rows = []
+    for i in range(spec.n_users):
+        n_pos = max(1, rng.poisson(spec.avg_pos))
+        labels = set()
+        own = items_by_class[u_class[i]]
+        for _ in range(n_pos):
+            if own.size and rng.random() < spec.affinity:
+                labels.add(int(own[rng.integers(own.size)]))
+            else:
+                labels.add(int(rng.integers(spec.n_items)))
+        feats = [(0, i % du[0], 1.0)]
+        for fi in range(1, spec.fu):
+            base = (u_class[i] * (du[fi] // spec.n_classes)) % max(du[fi], 1)
+            feats.append((fi, int(base), 1.0))
+            for _ in range(rng.integers(0, spec.max_extra_nnz + 1)):
+                feats.append((fi, int(rng.integers(du[fi])), 1.0))
+        user_rows.append((sorted(labels), feats))
+
+    item_rows = []
+    for j in range(spec.n_items):
+        feats = [(0, j % dv[0], 1.0)]
+        for fi in range(1, spec.fv):
+            base = (v_class[j] * (dv[fi] // spec.n_classes)) % max(dv[fi], 1)
+            feats.append((fi, int(base), 1.0))
+            for _ in range(rng.integers(0, spec.max_extra_nnz + 1)):
+                feats.append((fi, int(rng.integers(dv[fi])), 1.0))
+        item_rows.append(([], feats))
+    return user_rows, item_rows
+
+
+def _write_rows(path: str, rows, with_labels: bool):
+    with open(path, "w") as out:
+        for labels, feats in rows:
+            parts = []
+            if with_labels:
+                parts.append(",".join(str(x) for x in labels))
+            for fid, idx, val in feats:
+                v = int(val) if float(val).is_integer() else val
+                parts.append(f"{fid}:{idx}:{v}")
+            out.write(" ".join(parts) + "\n")
+
+
+def write_dataset(
+    out_dir: str, spec: SynthSpec, va_frac: float = 0.2
+) -> Tuple[str, str, str]:
+    """Write item/train/va files in the reference text format; the validation
+    split moves a fraction of each user's labels (users keep their features).
+    Returns (item_path, train_path, va_path)."""
+    rng = np.random.default_rng(spec.seed + 1)
+    user_rows, item_rows = generate(spec)
+    tr_rows, va_rows = [], []
+    for labels, feats in user_rows:
+        labels = list(labels)
+        rng.shuffle(labels)
+        n_va = int(len(labels) * va_frac)
+        if len(labels) - n_va < 1:
+            n_va = max(0, len(labels) - 1)
+        va, tr = labels[:n_va], labels[n_va:]
+        tr_rows.append((sorted(tr), feats))
+        # a row's label block must be non-empty in the text format, so users
+        # whose split leaves no validation labels are not emitted to the va
+        # file (matches the reference prep pipelines, which only emit rows
+        # for observed positives)
+        if va:
+            va_rows.append((sorted(va), feats))
+    os.makedirs(out_dir, exist_ok=True)
+    item_path = os.path.join(out_dir, "items.ffm")
+    train_path = os.path.join(out_dir, "train.ffm")
+    va_path = os.path.join(out_dir, "va.ffm")
+    _write_rows(item_path, item_rows, with_labels=False)
+    _write_rows(train_path, tr_rows, with_labels=True)
+    _write_rows(va_path, va_rows, with_labels=True)
+    return item_path, train_path, va_path

@@ -1,0 +1,439 @@
+"""End-to-end training driver (the reference ``train.cpp`` equivalent).
+
+Wires the data layer -> FFMSolver -> Evaluator and reproduces the reference's
+run protocol: load item/train/test files, alternate Gauss-Newton epochs,
+validate every ``eval_every`` epochs printing the reference's one-row format
+(print_epoch_info, reference ffm.cpp:1130-1145) so the logs.tools scripts
+work unchanged, and save the model (reference text format and/or native
+checkpoint).
+
+Capabilities beyond the reference: mid-training checkpoint + resume, JSONL
+structured metrics, a real predict/top-K scorer, AUC.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .data.dataset import (
+    FieldData,
+    Interactions,
+    PaddedFields,
+    PaddedLabels,
+    pad_fields,
+    pad_labels,
+    read_data,
+    split_fields,
+    trans_y,
+)
+from .models.blocks import BlockLayout, index_vec
+from .solver.params import HyperParams
+
+TOP_KS = (5, 10, 20, 40, 80)
+
+
+@dataclass
+class TrainConfig:
+    """Run configuration (reference Option, train.cpp:7-19 + new fields)."""
+
+    item_path: str
+    train_path: str
+    test_path: Optional[str] = None
+    model_path: Optional[str] = None  # reference text-format export (-o)
+    ckpt_dir: Optional[str] = None  # native checkpoint directory
+    k: int = 4
+    lam: float = 0.1  # train.cpp help default
+    omega: float = 0.1
+    r: float = -1.0
+    nr_pass: int = 20
+    self_side: bool = True  # --ns sets False
+    freq: bool = False
+    seed: int = 0
+    dtype: str = "float32"
+    eval_every: int = 10  # reference hard-codes 10 (ffm.cpp:1155)
+    eval_chunk: int = 1024
+    row_multiple: int = 8  # pad rows for TPU tiling / even sharding
+    jsonl_path: Optional[str] = None
+    resume: bool = False
+
+    def hyper(self) -> HyperParams:
+        return HyperParams(
+            k=self.k,
+            lam=self.lam,
+            omega=self.omega,
+            r=self.r,
+            nr_pass=self.nr_pass,
+            self_side=self.self_side,
+            freq=self.freq,
+        )
+
+
+def _np_dtype(name: str):
+    import jax.numpy as jnp
+
+    return {"float32": jnp.float32, "float64": jnp.float64, "bfloat16": jnp.bfloat16}[
+        name
+    ]
+
+
+@dataclass
+class LoadedData:
+    """Everything host-side the trainer needs."""
+
+    layout: BlockLayout
+    u_pad: PaddedFields
+    v_pad: PaddedFields
+    y_pad: PaddedLabels
+    popular: np.ndarray
+    uva_pad: Optional[PaddedFields]
+    va_labels: Optional[List[np.ndarray]]
+    n_items_true: int
+    m_users_true: int
+    nnz_true: int
+
+
+def load_problem(cfg: TrainConfig) -> LoadedData:
+    """Replicates main()'s data pipeline (train.cpp:177-192):
+    read train (labels) -> split; read items -> split; test with the train
+    Ds filter.  Training positives with item id >= item-file rows are dropped
+    (the reference drops them in transY, ffm.cpp:267-268)."""
+    u_raw = read_data(cfg.train_path, has_label=True)
+    u_fd = split_fields(u_raw)
+    v_raw = read_data(cfg.item_path, has_label=False)
+    v_fd = split_fields(v_raw)
+
+    layout = BlockLayout.make(u_fd.Ds, v_fd.Ds, cfg.self_side)
+
+    dt = np.float64 if cfg.dtype == "float64" else np.float32
+    mult = max(1, cfg.row_multiple)
+    u_pad = pad_fields(u_fd, row_multiple=mult, dtype=dt)
+    v_pad = pad_fields(v_fd, row_multiple=mult, dtype=dt)
+
+    # training positives: COO with v < item rows
+    assert u_raw.y is not None
+    uu = u_raw.y.row_ids()
+    vv = u_raw.y.col
+    keep = vv < v_fd.m
+    y = Interactions(
+        m=u_fd.m,
+        n=v_fd.m,
+        indptr=_rebuild_indptr(uu[keep], u_fd.m),
+        col=vv[keep],
+    )
+    y_pad = pad_labels(y, u_pad.m, v_pad.m, nnz_multiple=mult * 8, dtype=dt)
+
+    uva_pad = None
+    va_labels = None
+    if cfg.test_path:
+        t_raw = read_data(cfg.test_path, has_label=True, ds=u_fd.Ds)
+        t_fd = split_fields(t_raw, f_override=u_fd.f)
+        uva_pad = pad_fields(t_fd, row_multiple=mult, dtype=dt)
+        assert t_raw.y is not None
+        va_labels = [
+            t_raw.y.col[t_raw.y.indptr[i] : t_raw.y.indptr[i + 1]]
+            for i in range(t_raw.m)
+        ]
+
+    assert u_raw.popular is not None
+    return LoadedData(
+        layout=layout,
+        u_pad=u_pad,
+        v_pad=v_pad,
+        y_pad=y_pad,
+        popular=u_raw.popular,
+        uva_pad=uva_pad,
+        va_labels=va_labels,
+        n_items_true=v_fd.m,
+        m_users_true=u_fd.m,
+        nnz_true=y_pad.nnz_true,
+    )
+
+
+def _rebuild_indptr(rows: np.ndarray, m: int) -> np.ndarray:
+    ptr = np.zeros(m + 1, dtype=np.int64)
+    np.add.at(ptr, rows + 1, 1)
+    return np.cumsum(ptr)
+
+
+class Trainer:
+    """Owns the solver + evaluator for one run."""
+
+    def __init__(self, cfg: TrainConfig, data: Optional[LoadedData] = None):
+        import jax
+
+        from .evalx.jax_eval import Evaluator, make_eval_data
+        from .solver.jax_solver import FFMSolver, make_device_data
+
+        self.cfg = cfg
+        self.data = data if data is not None else load_problem(cfg)
+        d = self.data
+        dtype = _np_dtype(cfg.dtype)
+        meta, dev = make_device_data(
+            d.u_pad, d.v_pad, d.y_pad, d.layout, cfg.hyper(), dtype=dtype
+        )
+        self.meta = meta
+        self.solver = FFMSolver(meta, dev)
+        self.evaluator = None
+        if d.uva_pad is not None:
+            emeta, edata = make_eval_data(
+                d.uva_pad,
+                d.va_labels,
+                d.popular,
+                n_items=d.v_pad.m,
+                n_items_true=d.n_items_true,
+                layout=d.layout,
+                dtype=dtype,
+                top_ks=TOP_KS,
+            )
+            self.evaluator = Evaluator(emeta, edata, chunk=cfg.eval_chunk)
+        self.state = None
+        self.epoch_idx = 0
+        self._jax = jax
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def init_state(self):
+        import jax
+
+        if self.cfg.resume and self.cfg.ckpt_dir and has_checkpoint(self.cfg.ckpt_dir):
+            self.load_checkpoint()
+        else:
+            self.state = self.solver.init(jax.random.key(self.cfg.seed))
+            self.epoch_idx = 0
+        return self.state
+
+    # -- training loop --------------------------------------------------------
+
+    def run(self, log=print) -> Dict[str, float]:
+        """Full solve loop (reference solve(), ffm.cpp:1147-1161)."""
+        cfg = self.cfg
+        if self.state is None:
+            self.init_state()
+        self._print_header(log)
+        metrics: Dict[str, float] = {}
+        while self.epoch_idx < cfg.nr_pass:
+            t0 = time.time()
+            self.state = self.solver.epoch(self.state)
+            self._jax.block_until_ready(self.state)
+            self.epoch_idx += 1
+            t_epoch = time.time() - t0
+            if (
+                self.evaluator is not None
+                and self.epoch_idx % cfg.eval_every == 0
+            ):
+                metrics = self.validate()
+                log(self._format_row(self.epoch_idx, metrics))
+                self._write_jsonl(self.epoch_idx, metrics, t_epoch)
+            if cfg.ckpt_dir and self.epoch_idx % cfg.eval_every == 0:
+                self.save_checkpoint()
+        if cfg.model_path:
+            save_text_model(
+                cfg.model_path, self.params_numpy(), self.data.layout, cfg.k
+            )
+        if cfg.ckpt_dir:
+            self.save_checkpoint()
+        return metrics
+
+    def validate(self) -> Dict[str, float]:
+        assert self.evaluator is not None
+        st = self.state
+        return self.evaluator.validate(st["params"], st["Q"], st["b"])
+
+    # -- io -------------------------------------------------------------------
+
+    def params_numpy(self) -> Dict[int, Dict[str, np.ndarray]]:
+        return {
+            f12: {k: np.asarray(v) for k, v in blk.items()}
+            for f12, blk in self.state["params"].items()
+        }
+
+    def save_checkpoint(self):
+        save_checkpoint(
+            self.cfg.ckpt_dir, self.params_numpy(), self.epoch_idx, self.cfg
+        )
+
+    def load_checkpoint(self):
+        import jax.numpy as jnp
+
+        params_np, epoch = load_checkpoint(self.cfg.ckpt_dir)
+        dtype = _np_dtype(self.cfg.dtype)
+        params = {
+            f12: {k: jnp.asarray(v, dtype) for k, v in blk.items()}
+            for f12, blk in params_np.items()
+        }
+        self.state = self.solver.refresh_caches({"params": params})
+        self.epoch_idx = epoch
+
+    # -- output formatting (log-tooling compatible) ---------------------------
+
+    def _print_header(self, log):
+        if self.evaluator is None:
+            return
+        cols = ["iter"]
+        for k in TOP_KS:
+            cols.append(f"( p@ {k}, nDCG@{k} )")
+        cols.append("ploss")
+        log(" ".join(cols))
+
+    def _format_row(self, t: int, m: Dict[str, float]) -> str:
+        """One validation row, reference format: metrics x100, %.3g
+        (print_epoch_info, ffm.cpp:1130-1145)."""
+        parts = [f"{t:>2}"]
+        for k in TOP_KS:
+            parts.append(f"( {m[f'p@{k}'] * 100:.3g} , {m[f'ndcg@{k}'] * 100:.3g} )")
+        parts.append(f"{m['ploss']:.3g}")
+        return " ".join(parts)
+
+    def _write_jsonl(self, t: int, m: Dict[str, float], t_epoch: float):
+        if not self.cfg.jsonl_path:
+            return
+        rec = dict(epoch=t, epoch_seconds=t_epoch, **m)
+        with open(self.cfg.jsonl_path, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+
+    # -- prediction (capability the reference lacks) --------------------------
+
+    def predict_topk(self, k: int = 10, chunk: int = 1024) -> np.ndarray:
+        """Top-k item ids for every test user (cold users ranked by
+        popularity), using the current parameters."""
+        assert self.evaluator is not None
+        import jax
+        import jax.numpy as jnp
+
+        ev = self.evaluator
+        Pva, _ = ev._project_users(self.state["params"])
+        meta = ev.meta
+        Q = self.state["Q"]
+        bt = self.state["b"]
+        outs = []
+
+        @jax.jit
+        def score(Pc, cold_c):
+            z = jnp.broadcast_to(bt[None, :], (cold_c.shape[0], meta.n))
+            for b in meta.layout.cross_blocks():
+                z = z + Pc[b.f12] @ Q[b.f12].T
+            z = jnp.where(cold_c[:, None], ev.data["popular"][None, :], z)
+            return jax.lax.top_k(z[:, : meta.catalog], k)[1]
+
+        for lo in range(0, meta.mt_true, chunk):
+            sl = slice(lo, lo + chunk)
+            Pc = {f12: P[sl] for f12, P in Pva.items()}
+            outs.append(np.asarray(score(Pc, ev.data["cold"][sl])))
+        return np.concatenate(outs, axis=0)[: meta.mt_true]
+
+
+# ---------------------------------------------------------------------------
+# Model persistence
+# ---------------------------------------------------------------------------
+
+
+def save_text_model(
+    path: str,
+    params: Dict[int, Dict[str, np.ndarray]],
+    layout: BlockLayout,
+    k: int,
+):
+    """Reference text model format (save_model, ffm.cpp:1163-1237):
+    header f/fu/fv/k + per-field dims, then per block rows
+    ``W,fi,fj,row v1 .. vk`` in %g formatting."""
+    f = layout.f
+    with open(path, "w") as out:
+        out.write(f"{f}\n{layout.fu}\n{layout.fv}\n{k}\n")
+        for d in layout.Du:
+            out.write(f"{d}\n")
+        for d in layout.Dv:
+            out.write(f"{d}\n")
+        for b in layout.all_blocks():
+            for name in ("W", "H"):
+                tbl = params[b.f12][name]
+                for row in range(tbl.shape[0]):
+                    vals = " ".join(_fmt_g(x) for x in tbl[row])
+                    out.write(f"{name},{b.f1},{b.f2},{row} {vals}\n")
+
+
+def _fmt_g(x: float) -> str:
+    """C++ default ostream float formatting (6 significant digits)."""
+    return f"{float(x):.6g}"
+
+
+def load_text_model(path: str):
+    """Parse the text model back into (layout metadata, params)."""
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    f = int(lines[0])
+    fu = int(lines[1])
+    fv = int(lines[2])
+    k = int(lines[3])
+    Du = [int(lines[4 + i]) for i in range(fu)]
+    Dv = [int(lines[4 + fu + i]) for i in range(fv)]
+    body = lines[4 + fu + fv :]
+    tables: Dict[Tuple[str, int, int], Dict[int, List[float]]] = {}
+    for ln in body:
+        if not ln:
+            continue
+        head, vals = ln.split(" ", 1)
+        name, f1, f2, row = head.split(",")
+        key = (name, int(f1), int(f2))
+        tables.setdefault(key, {})[int(row)] = [float(x) for x in vals.split()]
+    # reconstruct self_side from which blocks exist
+    self_side = any(
+        (f1 < fu and f2 < fu) or (f1 >= fu and f2 >= fu)
+        for (_, f1, f2) in tables.keys()
+    )
+    layout = BlockLayout.make(Du, Dv, self_side)
+    params: Dict[int, Dict[str, np.ndarray]] = {}
+    for b in layout.all_blocks():
+        params[b.f12] = {}
+        for name in ("W", "H"):
+            rows = tables[(name, b.f1, b.f2)]
+            d = max(rows) + 1
+            arr = np.zeros((d, k))
+            for r, v in rows.items():
+                arr[r] = v
+            params[b.f12][name] = arr
+    return layout, k, params
+
+
+# ---------------------------------------------------------------------------
+# Native checkpointing (capability the reference lacks: resume mid-training)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    params: Dict[int, Dict[str, np.ndarray]],
+    epoch: int,
+    cfg: TrainConfig,
+):
+    os.makedirs(ckpt_dir, exist_ok=True)
+    arrays = {}
+    for f12, blk in params.items():
+        arrays[f"W_{f12}"] = blk["W"]
+        arrays[f"H_{f12}"] = blk["H"]
+    tmp = os.path.join(ckpt_dir, ".ckpt.tmp.npz")
+    np.savez(tmp, epoch=np.int64(epoch), **arrays)
+    os.replace(tmp, os.path.join(ckpt_dir, "ckpt.npz"))
+    with open(os.path.join(ckpt_dir, "config.json"), "w") as fh:
+        json.dump(dataclasses.asdict(cfg), fh, indent=2)
+
+
+def has_checkpoint(ckpt_dir: str) -> bool:
+    return os.path.exists(os.path.join(ckpt_dir, "ckpt.npz"))
+
+
+def load_checkpoint(ckpt_dir: str):
+    z = np.load(os.path.join(ckpt_dir, "ckpt.npz"))
+    params: Dict[int, Dict[str, np.ndarray]] = {}
+    for key in z.files:
+        if key == "epoch":
+            continue
+        name, f12 = key.split("_")
+        params.setdefault(int(f12), {})[name] = z[key]
+    return params, int(z["epoch"])

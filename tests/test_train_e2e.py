@@ -1,0 +1,149 @@
+"""End-to-end trainer tests on synthetic data: learning, persistence, resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from one_class_ffm_tpu.data.synth import SynthSpec, write_dataset
+from one_class_ffm_tpu.train import (
+    TrainConfig,
+    Trainer,
+    load_checkpoint,
+    load_text_model,
+    save_text_model,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth")
+    spec = SynthSpec(n_users=120, n_items=40, avg_pos=6.0, seed=3)
+    return write_dataset(str(out), spec)
+
+
+def make_cfg(dataset, tmp_path, **kw):
+    item, train, va = dataset
+    defaults = dict(
+        item_path=item,
+        train_path=train,
+        test_path=va,
+        k=4,
+        lam=0.05,
+        omega=0.1,
+        nr_pass=6,
+        eval_every=3,
+        dtype="float64",
+        eval_chunk=64,
+        row_multiple=4,
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def test_training_learns_ranking(dataset, tmp_path):
+    cfg = make_cfg(dataset, tmp_path, nr_pass=9, eval_every=3)
+    tr = Trainer(cfg)
+    tr.init_state()
+    rows = []
+    tr.run(log=rows.append)
+    m = tr.validate()
+    # Planted class structure: the model must beat random ranking.  Note
+    # train positives are NOT masked from the ranking (reference semantics,
+    # ffm.cpp prec_k) and each user has ~5 of them in a 40-item catalog, so
+    # p@5 mostly measures train positives — use AUC/nDCG/p@10 instead.
+    assert m["auc"] > 0.62
+    assert m["ndcg@10"] > 0.15
+    assert m["p@10"] > 0.04  # random baseline ~= avg_va_labels/40 ~= 0.025
+    # reference-format output rows were produced
+    assert any(r.strip().startswith("3 ") or r.startswith(" 3") for r in rows)
+
+
+def test_text_model_roundtrip(dataset, tmp_path):
+    model_path = str(tmp_path / "model.txt")
+    cfg = make_cfg(dataset, tmp_path, nr_pass=2, model_path=model_path)
+    tr = Trainer(cfg)
+    tr.init_state()
+    tr.run(log=lambda *_: None)
+    assert os.path.exists(model_path)
+    layout, k, params = load_text_model(model_path)
+    assert k == cfg.k
+    assert layout.fu == tr.data.layout.fu
+    assert layout.fv == tr.data.layout.fv
+    orig = tr.params_numpy()
+    for f12, blk in orig.items():
+        for name in ("W", "H"):
+            np.testing.assert_allclose(
+                params[f12][name], blk[name], rtol=2e-5, atol=1e-7
+            )
+
+
+def test_checkpoint_resume(dataset, tmp_path):
+    ck = str(tmp_path / "ckpt")
+    cfg = make_cfg(dataset, tmp_path, nr_pass=4, eval_every=2, ckpt_dir=ck)
+    tr = Trainer(cfg)
+    tr.init_state()
+    tr.run(log=lambda *_: None)
+    params4, epoch4 = load_checkpoint(ck)
+    assert epoch4 == 4
+
+    # fresh trainer resumes at epoch 4 and continues to 6
+    cfg2 = make_cfg(
+        dataset, tmp_path, nr_pass=6, eval_every=2, ckpt_dir=ck, resume=True
+    )
+    tr2 = Trainer(cfg2)
+    tr2.init_state()
+    assert tr2.epoch_idx == 4
+    tr2.run(log=lambda *_: None)
+    assert tr2.epoch_idx == 6
+
+    # compare against an uninterrupted 6-epoch run with the same seed
+    cfg3 = make_cfg(dataset, tmp_path, nr_pass=6, eval_every=6)
+    tr3 = Trainer(cfg3)
+    tr3.init_state()
+    tr3.run(log=lambda *_: None)
+    p_res = tr2.params_numpy()
+    p_ful = tr3.params_numpy()
+    for f12 in p_ful:
+        np.testing.assert_allclose(
+            p_res[f12]["W"], p_ful[f12]["W"], rtol=1e-7, atol=1e-9
+        )
+
+
+def test_predict_topk(dataset, tmp_path):
+    cfg = make_cfg(dataset, tmp_path, nr_pass=3, eval_every=3)
+    tr = Trainer(cfg)
+    tr.init_state()
+    tr.run(log=lambda *_: None)
+    top = tr.predict_topk(k=10)
+    assert top.shape == (tr.evaluator.meta.mt_true, 10)
+    assert top.min() >= 0
+    assert top.max() < tr.evaluator.meta.catalog
+    # rows are distinct item ids
+    assert all(len(set(row.tolist())) == 10 for row in top)
+
+
+def test_cli_smoke(dataset, tmp_path, capsys):
+    from one_class_ffm_tpu.cli import main
+
+    item, train, va = dataset
+    rc = main(
+        [
+            item,
+            train,
+            "-p",
+            va,
+            "-k",
+            "3",
+            "-t",
+            "2",
+            "--eval-every",
+            "2",
+            "--dtype",
+            "float64",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "iter" in out
+    assert "ploss" in out
