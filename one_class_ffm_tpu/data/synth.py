@@ -128,3 +128,64 @@ def write_dataset(
     _write_rows(train_path, tr_rows, with_labels=True)
     _write_rows(va_path, va_rows, with_labels=True)
     return item_path, train_path, va_path
+
+
+def build_padded(spec: SynthSpec, dtype=np.float32, row_multiple: int = 8):
+    """Generate directly to device-ready padded arrays (no text round-trip).
+
+    Returns (layout_args, u_pad, v_pad, y_pad) where layout_args =
+    (Du, Dv) per-field dims actually observed.  Used by the benchmark and
+    the multichip dry-run.
+    """
+    from .dataset import PaddedFields, PaddedLabels, pad_labels, Interactions
+
+    user_rows, item_rows = generate(spec)
+    du, dv = spec.resolve()
+
+    def side(rows, dims, mult):
+        m = len(rows)
+        m_pad = -(-m // mult) * mult
+        f = len(dims)
+        idxs, vals = [], []
+        width = [1] * f
+        for _, feats in rows:
+            cnt = [0] * f
+            for fid, _, _ in feats:
+                cnt[fid] += 1
+            for fi in range(f):
+                width[fi] = max(width[fi], cnt[fi])
+        for fi in range(f):
+            idxs.append(np.zeros((m_pad, width[fi]), dtype=np.int32))
+            vals.append(np.zeros((m_pad, width[fi]), dtype=dtype))
+        freq = [np.zeros(d, dtype=dtype) for d in dims]
+        row_nnz = np.zeros(m_pad, dtype=np.int32)
+        for i, (_, feats) in enumerate(rows):
+            slot = [0] * f
+            for fid, idx, val in feats:
+                idxs[fid][i, slot[fid]] = idx
+                vals[fid][i, slot[fid]] = val
+                slot[fid] += 1
+                freq[fid][idx] += 1
+            row_nnz[i] = len(feats)
+        return PaddedFields(
+            m=m_pad, m_true=m, f=f, Ds=tuple(dims),
+            idx=tuple(idxs), val=tuple(vals), freq=tuple(freq),
+            row_nnz=row_nnz,
+        )
+
+    u_pad = side(user_rows, list(du), row_multiple)
+    v_pad = side(item_rows, list(dv), row_multiple)
+    rows_ids = []
+    cols = []
+    for i, (labels, _) in enumerate(user_rows):
+        rows_ids.extend([i] * len(labels))
+        cols.extend(labels)
+    rows_ids = np.asarray(rows_ids, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    indptr = np.zeros(len(user_rows) + 1, dtype=np.int64)
+    np.add.at(indptr, rows_ids + 1, 1)
+    y = Interactions(
+        m=len(user_rows), n=spec.n_items, indptr=np.cumsum(indptr), col=cols
+    )
+    y_pad = pad_labels(y, u_pad.m, v_pad.m, nnz_multiple=row_multiple * 8, dtype=dtype)
+    return (list(du), list(dv)), u_pad, v_pad, y_pad

@@ -1,0 +1,81 @@
+"""Device-mesh sharding for the one-class FFM solver.
+
+The reference parallelizes with OpenMP threads over rows on one shared-memory
+machine (reference ffm.cpp:328,572,603,678,715 `#pragma omp parallel for`)
+and has no distributed backend at all (SURVEY.md §2.4).  Here the same axis
+of parallelism — rows (users m, items n) and the positive COO stream — is
+sharded over a ``jax.sharding.Mesh`` ``data`` axis instead, and XLA/GSPMD
+inserts the collectives the C++ never needed:
+
+  * k x k Gram matrices (Q_c^T Q1 etc.) -> psum over shards (tiny payloads,
+    rides ICI)
+  * ``segment_sum`` by the *other* endpoint of a COO-sharded stream ->
+    scatter-add + all-reduce
+  * block tables W/H (D_f x k) -> replicated; per-table gradients all-reduce
+    (a future ``model`` axis can row-shard very large tables)
+
+The solver itself is unchanged: every op it uses (matmul, segment_sum,
+gather) is GSPMD-partitionable, so sharding is pure data placement — the
+same jitted epoch runs 1-device or N-device.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh()``;
+the mesh then spans all processes and each host feeds its addressable
+shards (standard JAX multi-host SPMD).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _put(tree, sharding):
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_data(data: Dict[str, Any], mesh: Mesh, axis: str = "data") -> Dict[str, Any]:
+    """Place the problem arrays: rows and the COO stream sharded on ``axis``,
+    small per-feature tables replicated.
+
+    Requires padded row counts (u.m, v.m) and the padded nnz to be divisible
+    by the mesh size (the data layer's ``row_multiple``/``nnz_multiple``
+    guarantee this when set to a multiple of the device count).
+    """
+    row = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    out = dict(data)
+    for key in ("xu_idx", "xu_val", "xv_idx", "xv_val"):
+        out[key] = tuple(_put(a, row) for a in data[key])
+    for key in ("pos_u", "pos_v", "pos_w", "cnt_u", "cnt_v"):
+        out[key] = _put(data[key], row)
+    for key in ("reg_u", "reg_v"):
+        out[key] = tuple(_put(a, rep) for a in data[key])
+    return out
+
+
+def replicate_params(params, mesh: Mesh):
+    rep = NamedSharding(mesh, P())
+    return _put(params, rep)
+
+
+def shard_state(state: Dict[str, Any], mesh: Mesh, axis: str = "data") -> Dict[str, Any]:
+    """Place solver state: P/Q/a/b/yt row-sharded, params replicated."""
+    row = NamedSharding(mesh, P(axis))
+    out = dict(state)
+    out["params"] = replicate_params(state["params"], mesh)
+    for key in ("P", "Q"):
+        out[key] = {f12: _put(v, row) for f12, v in state[key].items()}
+    for key in ("a", "b", "yt"):
+        out[key] = _put(state[key], row)
+    return out

@@ -159,7 +159,9 @@ class FFMSolver:
         self.meta = meta
         self.data = data
         self.blocks: List[BlockInfo] = meta.layout.all_blocks()
-        self._epoch = jax.jit(self._epoch_impl)
+        self._epoch = jax.jit(self._epoch_entry)
+        self._objective = jax.jit(self._objective_entry)
+        self._refresh = jax.jit(self._refresh_entry)
 
     # -- field array accessors ------------------------------------------------
 
@@ -178,27 +180,44 @@ class FFMSolver:
         """Random block tables + all caches (reference init, ffm.cpp:467-512).
 
         Tables ~ U(-0.1/sqrt(k), 0.1/sqrt(k)) (init_mat, ffm.cpp:71-78).
+        One jitted program for all tables (cheap dispatch on remote backends).
         """
-        meta = self.meta
-        k = meta.hp.k
-        scale = 0.1 / np.sqrt(k)
-        params: Dict[int, Dict[str, Array]] = {}
-        for b in self.blocks:
-            key, k1, k2 = jax.random.split(key, 3)
-            params[b.f12] = dict(
-                W=jax.random.uniform(
-                    k1, (b.d1, k), meta.dtype, minval=-scale, maxval=scale
-                ),
-                H=jax.random.uniform(
-                    k2, (b.d2, k), meta.dtype, minval=-scale, maxval=scale
-                ),
-            )
-        return self.refresh_caches({"params": params})
+
+        @jax.jit
+        def init_params(key):
+            meta = self.meta
+            k = meta.hp.k
+            scale = 0.1 / np.sqrt(k)
+            params: Dict[int, Dict[str, Array]] = {}
+            for b in self.blocks:
+                key, k1, k2 = jax.random.split(key, 3)
+                params[b.f12] = dict(
+                    W=jax.random.uniform(
+                        k1, (b.d1, k), meta.dtype, minval=-scale, maxval=scale
+                    ),
+                    H=jax.random.uniform(
+                        k2, (b.d2, k), meta.dtype, minval=-scale, maxval=scale
+                    ),
+                )
+            return params
+
+        return self.refresh_caches({"params": init_params(key)})
 
     def refresh_caches(self, state: Dict[str, Any]) -> Dict[str, Any]:
         """(Re)build P/Q, side sums a/b and the positive residual yt from
-        params — used at init and after loading a checkpoint."""
-        params = state["params"]
+        params — used at init and after loading a checkpoint.  Jitted as one
+        program (eager per-op dispatch is expensive on remote backends)."""
+        return self._refresh(state["params"], self.data)
+
+    def _refresh_entry(self, params, data):
+        prev = self.data
+        self.data = data
+        try:
+            return self._refresh_impl(params)
+        finally:
+            self.data = prev
+
+    def _refresh_impl(self, params) -> Dict[str, Any]:
         P, Q = {}, {}
         for b in self.blocks:
             i1, v1, _, _ = self._side_arrays(b, True)
@@ -466,12 +485,34 @@ class FFMSolver:
             state = self._solve_half(state, b, False, sa, sb)
         return state
 
+    def _epoch_entry(self, state: Dict[str, Any], data: Dict[str, Any]):
+        """Jit entry point: the problem arrays are runtime arguments (not
+        baked constants) so their shardings drive GSPMD partitioning and the
+        executable stays small."""
+        prev = self.data
+        self.data = data
+        try:
+            return self._epoch_impl(state)
+        finally:
+            self.data = prev
+
     def epoch(self, state: Dict[str, Any]) -> Dict[str, Any]:
-        return self._epoch(state)
+        return self._epoch(state, self.data)
 
     # -- diagnostics ----------------------------------------------------------
 
     def objective(self, state: Dict[str, Any]) -> Array:
+        return self._objective(state, self.data)
+
+    def _objective_entry(self, state, data):
+        prev = self.data
+        self.data = data
+        try:
+            return self._objective_impl(state)
+        finally:
+            self.data = prev
+
+    def _objective_impl(self, state: Dict[str, Any]) -> Array:
         """Exact loss via the rank-k decomposition (matches the reference's
         brute-force func(), ffm.cpp:1321-1351, without materializing m x n).
 

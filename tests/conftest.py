@@ -93,14 +93,20 @@ def dense_to_padded(X, m_pad=None, dtype=np.float64):
     return idx, val
 
 
-def to_device_problem(prob, row_pad=0, dtype=np.float64):
-    """OracleProblem -> (meta, data) for FFMSolver, optionally padding rows."""
+def to_device_problem(prob, row_pad=0, dtype=np.float64, multiple=1):
+    """OracleProblem -> (meta, data) for FFMSolver, optionally padding rows.
+
+    ``multiple``: round padded row counts and nnz up to this multiple (for
+    sharding tests on an N-device mesh)."""
     import jax.numpy as jnp
     from one_class_ffm_tpu.data.dataset import PaddedFields, PaddedLabels
     from one_class_ffm_tpu.solver.jax_solver import make_device_data
 
+    def up(x):
+        return -(-x // multiple) * multiple
+
     m, n = prob.m, prob.n
-    m_pad, n_pad = m + row_pad, n + row_pad
+    m_pad, n_pad = up(m + row_pad), up(n + row_pad)
 
     def side(Xs, freqs, mp):
         pads = [dense_to_padded(X, mp, dtype) for X in Xs]
@@ -122,7 +128,7 @@ def to_device_problem(prob, row_pad=0, dtype=np.float64):
     v = side(prob.Xv, prob.freq_v, n_pad)
     uu, vv = np.nonzero(prob.pos)
     nnz_true = uu.size
-    nnz = nnz_true + (3 if row_pad else 0)
+    nnz = up(nnz_true + (3 if row_pad else 0))
     pu = np.full(nnz, m, dtype=np.int32)
     pv = np.full(nnz, n, dtype=np.int32)
     pw = np.zeros(nnz, dtype=dtype)

@@ -1,0 +1,72 @@
+"""Multi-device sharded training on the virtual 8-device CPU mesh.
+
+The sharded epoch must produce the same parameters as the single-device
+epoch (GSPMD partitioning is a pure performance transform) and the outputs
+must actually be distributed across the mesh.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from conftest import make_problem, oracle_params_to_jax, to_device_problem
+from one_class_ffm_tpu.parallel import make_mesh, shard_data, shard_state
+from one_class_ffm_tpu.solver.jax_solver import FFMSolver
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+def build_sharded(rng, n_dev=8, **kw):
+    prob, params = make_problem(rng, m=19, n=13, **kw)
+    meta, data = to_device_problem(prob, row_pad=1, multiple=n_dev)
+    mesh = make_mesh(n_dev)
+    solver = FFMSolver(meta, data)
+    state0 = solver.refresh_caches({"params": oracle_params_to_jax(params)})
+
+    sdata = shard_data(data, mesh)
+    sstate = shard_state(state0, mesh)
+    ssolver = FFMSolver(meta, sdata)
+    return solver, state0, ssolver, sstate, mesh
+
+
+@pytest.mark.parametrize("cfg", [dict(), dict(self_side=False)])
+def test_sharded_epoch_matches_single_device(rng, eight_devices, cfg):
+    solver, state0, ssolver, sstate, mesh = build_sharded(rng, **cfg)
+    ref = solver.epoch(state0)
+    got = ssolver.epoch(sstate)
+    for f12, blk in ref["params"].items():
+        np.testing.assert_allclose(
+            np.asarray(got["params"][f12]["W"]), np.asarray(blk["W"]),
+            rtol=1e-9, atol=1e-11,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["params"][f12]["H"]), np.asarray(blk["H"]),
+            rtol=1e-9, atol=1e-11,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got["a"]), np.asarray(ref["a"]), rtol=1e-9, atol=1e-11
+    )
+
+
+def test_sharded_outputs_stay_distributed(rng, eight_devices):
+    solver, state0, ssolver, sstate, mesh = build_sharded(rng)
+    got = ssolver.epoch(sstate)
+    # row-carried arrays should remain sharded over the data axis
+    a_shard = got["a"].sharding
+    assert not a_shard.is_fully_replicated
+    # params should be replicated (every device holds the full tables)
+    f12 = next(iter(got["params"]))
+    assert got["params"][f12]["W"].sharding.is_fully_replicated
+
+
+def test_sharded_objective_matches(rng, eight_devices):
+    solver, state0, ssolver, sstate, mesh = build_sharded(rng)
+    ref = float(solver.objective(state0))
+    got = float(ssolver.objective(sstate))
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
