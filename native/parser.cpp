@@ -1,0 +1,168 @@
+// Fast two-pass text parser for the one-class FFM data formats.
+//
+// Native equivalent of the reference's C++ loader (ImpData::read,
+// /root/reference/ffm.cpp:80-183), exposed to Python through a C ABI
+// (ctypes binding in one_class_ffm_tpu/data/native_io.py).  Same semantics
+// as the pure-Python fallback parser (data/io.py):
+//   * line = "[label1,label2,...] fid:idx:val ..." (label block only when
+//     has_label)
+//   * n = max label id + 1; f = max field id + 1 counted over ALL features,
+//     including ones the ds-filter later drops
+//   * ds filter: drop features with fid >= n_ds or idx >= ds[fid]
+//   * blank lines are empty rows
+//
+// Pass 1 counts rows and post-filter nnz so Python can allocate exact
+// buffers; pass 2 fills them.  ~40x the Python parser's throughput.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+extern "C" {
+
+struct ParseCounts {
+    int64_t rows;
+    int64_t x_nnz;
+    int64_t y_nnz;
+    int64_t n;  // label dimension
+    int32_t f;  // field count
+};
+
+// Returns 0 on success, -1 on open failure, -2 on malformed feature.
+static int parse_pass(const char* path, int has_label, const int64_t* ds,
+                      int64_t n_ds, ParseCounts* counts, int64_t* x_indptr,
+                      int32_t* x_fid, int64_t* x_idx, double* x_val,
+                      int64_t* y_indptr, int64_t* y_idx, int fill) {
+    FILE* fp = fopen(path, "rb");
+    if (!fp) return -1;
+
+    // big stdio buffer: parsing is sequential
+    static const size_t BUF = 1 << 20;
+    char* iobuf = (char*)malloc(BUF);
+    setvbuf(fp, iobuf, _IOFBF, BUF);
+
+    size_t cap = 1 << 20;
+    char* line = (char*)malloc(cap);
+
+    int64_t rows = 0, x_nnz = 0, y_nnz = 0, n = 0;
+    int32_t f = 0;
+    int rc = 0;
+
+    if (fill) {
+        x_indptr[0] = 0;
+        if (has_label) y_indptr[0] = 0;
+    }
+
+    while (true) {
+        // getline-style read (handles arbitrarily long lines)
+        size_t len = 0;
+        int eof = 0;
+        while (true) {
+            if (!fgets(line + len, (int)(cap - len), fp)) {
+                eof = 1;
+                break;
+            }
+            len += strlen(line + len);
+            if (len && line[len - 1] == '\n') {
+                line[--len] = '\0';
+                break;
+            }
+            if (len + 1 >= cap) {
+                cap *= 2;
+                line = (char*)realloc(line, cap);
+            } else {
+                break;  // EOF without newline
+            }
+        }
+        if (eof && len == 0) break;
+
+        char* p = line;
+        while (*p == ' ' || *p == '\t') p++;
+
+        if (has_label && *p) {
+            // label block: comma-separated ids up to first whitespace
+            while (*p && *p != ' ' && *p != '\t') {
+                char* end;
+                long long j = strtoll(p, &end, 10);
+                if (end == p) {
+                    rc = -2;
+                    goto done;
+                }
+                if (j + 1 > n) n = j + 1;
+                if (fill) y_idx[y_nnz] = (int64_t)j;
+                y_nnz++;
+                p = end;
+                if (*p == ',') p++;
+            }
+        }
+
+        // features
+        while (*p) {
+            while (*p == ' ' || *p == '\t') p++;
+            if (!*p) break;
+            char* end;
+            long long fid = strtoll(p, &end, 10);
+            if (end == p || *end != ':') {
+                rc = -2;
+                goto done;
+            }
+            p = end + 1;
+            long long idx = strtoll(p, &end, 10);
+            if (end == p || *end != ':') {
+                rc = -2;
+                goto done;
+            }
+            p = end + 1;
+            double val = strtod(p, &end);
+            if (end == p) {
+                rc = -2;
+                goto done;
+            }
+            p = end;
+            if ((int32_t)(fid + 1) > f) f = (int32_t)(fid + 1);
+            if (ds != nullptr && (fid >= n_ds || ds[fid] <= idx)) continue;
+            if (fill) {
+                x_fid[x_nnz] = (int32_t)fid;
+                x_idx[x_nnz] = (int64_t)idx;
+                x_val[x_nnz] = val;
+            }
+            x_nnz++;
+        }
+
+        rows++;
+        if (fill) {
+            x_indptr[rows] = x_nnz;
+            if (has_label) y_indptr[rows] = y_nnz;
+        }
+        if (eof) break;
+    }
+
+done:
+    free(line);
+    fclose(fp);
+    free(iobuf);
+    if (rc) return rc;
+    counts->rows = rows;
+    counts->x_nnz = x_nnz;
+    counts->y_nnz = y_nnz;
+    counts->n = n;
+    counts->f = f;
+    return 0;
+}
+
+int ocffm_count(const char* path, int has_label, const int64_t* ds,
+                int64_t n_ds, ParseCounts* counts) {
+    return parse_pass(path, has_label, ds, n_ds, counts, nullptr, nullptr,
+                      nullptr, nullptr, nullptr, nullptr, 0);
+}
+
+int ocffm_fill(const char* path, int has_label, const int64_t* ds,
+               int64_t n_ds, ParseCounts* counts, int64_t* x_indptr,
+               int32_t* x_fid, int64_t* x_idx, double* x_val,
+               int64_t* y_indptr, int64_t* y_idx) {
+    return parse_pass(path, has_label, ds, n_ds, counts, x_indptr, x_fid,
+                      x_idx, x_val, y_indptr, y_idx, 1);
+}
+
+}  // extern "C"

@@ -1,0 +1,123 @@
+"""ctypes binding for the native C++ text parser (native/parser.cpp).
+
+Same return contract as ``io.parse_text_python``; dispatched to by
+``io.read_text_file`` when ``native/libocffm.so`` exists (build with
+``make -C native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+class _ParseCounts(ctypes.Structure):
+    _fields_ = [
+        ("rows", ctypes.c_int64),
+        ("x_nnz", ctypes.c_int64),
+        ("y_nnz", ctypes.c_int64),
+        ("n", ctypes.c_int64),
+        ("f", ctypes.c_int32),
+    ]
+
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(here, "native", "libocffm.so")
+    lib = ctypes.CDLL(path)
+    lib.ocffm_count.restype = ctypes.c_int
+    lib.ocffm_count.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(_ParseCounts),
+    ]
+    lib.ocffm_fill.restype = ctypes.c_int
+    lib.ocffm_fill.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(_ParseCounts),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    _lib = lib
+    return lib
+
+
+def _as_ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def parse_text_native(
+    path: str,
+    has_label: bool,
+    ds: Optional[Sequence[int]] = None,
+):
+    lib = _load()
+    counts = _ParseCounts()
+    if ds is not None:
+        ds_arr = np.ascontiguousarray(np.asarray(ds, dtype=np.int64))
+        ds_ptr = _as_ptr(ds_arr, ctypes.c_int64)
+        n_ds = len(ds_arr)
+    else:
+        ds_ptr = None
+        n_ds = 0
+    rc = lib.ocffm_count(
+        path.encode(), int(has_label), ds_ptr, n_ds, ctypes.byref(counts)
+    )
+    if rc == -1:
+        raise FileNotFoundError(path)
+    if rc != 0:
+        raise ValueError(f"malformed data file: {path} (rc={rc})")
+
+    rows = counts.rows
+    x_indptr = np.zeros(rows + 1, dtype=np.int64)
+    x_fid = np.empty(counts.x_nnz, dtype=np.int32)
+    x_idx = np.empty(counts.x_nnz, dtype=np.int64)
+    x_val = np.empty(counts.x_nnz, dtype=np.float64)
+    y_indptr = np.zeros((rows + 1) if has_label else 1, dtype=np.int64)
+    y_idx = np.empty(counts.y_nnz, dtype=np.int64)
+
+    rc = lib.ocffm_fill(
+        path.encode(),
+        int(has_label),
+        ds_ptr,
+        n_ds,
+        ctypes.byref(counts),
+        _as_ptr(x_indptr, ctypes.c_int64),
+        _as_ptr(x_fid, ctypes.c_int32),
+        _as_ptr(x_idx, ctypes.c_int64),
+        _as_ptr(x_val, ctypes.c_double),
+        _as_ptr(y_indptr, ctypes.c_int64),
+        _as_ptr(y_idx, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise ValueError(f"malformed data file on fill: {path} (rc={rc})")
+    if not has_label:
+        y_indptr = np.zeros(1, dtype=np.int64)
+    return (
+        x_indptr,
+        x_fid,
+        x_idx,
+        x_val,
+        y_indptr,
+        y_idx,
+        int(counts.n),
+        int(counts.f),
+    )
