@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append structured metrics JSONL here")
     p.add_argument("--predict-topk", type=int, default=0,
                    help="after training, print top-K item ids per test user")
+    p.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="force the JAX platform (auto = library default)")
     return p
 
 
@@ -97,6 +100,11 @@ def main(argv=None) -> int:
     if args.threads:
         os.environ.setdefault("XLA_CPU_MULTI_THREAD_EIGEN", "true")
         os.environ.setdefault("OMP_NUM_THREADS", str(args.threads))
+    if args.platform != "auto":
+        import jax
+
+        # set via config (the TPU plugin overrides the env var at startup)
+        jax.config.update("jax_platforms", args.platform)
     if args.k < 1:
         build_parser().error(f"-k must be >= 1 (got {args.k})")
     if args.nr_pass < 0:
