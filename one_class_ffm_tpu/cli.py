@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default="auto",
                    choices=["auto", "cpu", "tpu"],
                    help="force the JAX platform (auto = library default)")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace here (TensorBoard format)")
+    p.add_argument("--timing", action="store_true",
+                   help="print per-phase timing summary at the end")
     return p
 
 
@@ -82,6 +86,8 @@ def config_from_args(args) -> TrainConfig:
         eval_chunk=args.eval_chunk,
         jsonl_path=args.jsonl_path,
         resume=args.resume,
+        profile_dir=args.profile_dir,
+        timing=args.timing,
     )
 
 

@@ -62,6 +62,8 @@ class TrainConfig:
     row_multiple: int = 8  # pad rows for TPU tiling / even sharding
     jsonl_path: Optional[str] = None
     resume: bool = False
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+    timing: bool = False  # print per-phase timing at the end
 
     def hyper(self) -> HyperParams:
         return HyperParams(
@@ -196,6 +198,9 @@ class Trainer:
         self.state = None
         self.epoch_idx = 0
         self._jax = jax
+        from .utils import PhaseTimer
+
+        self.timer = PhaseTimer()
 
     # -- lifecycle ------------------------------------------------------------
 
@@ -218,27 +223,35 @@ class Trainer:
             self.init_state()
         self._print_header(log)
         metrics: Dict[str, float] = {}
-        while self.epoch_idx < cfg.nr_pass:
-            t0 = time.time()
-            self.state = self.solver.epoch(self.state)
-            self._jax.block_until_ready(self.state)
-            self.epoch_idx += 1
-            t_epoch = time.time() - t0
-            if (
-                self.evaluator is not None
-                and self.epoch_idx % cfg.eval_every == 0
-            ):
-                metrics = self.validate()
-                log(self._format_row(self.epoch_idx, metrics))
-                self._write_jsonl(self.epoch_idx, metrics, t_epoch)
-            if cfg.ckpt_dir and self.epoch_idx % cfg.eval_every == 0:
-                self.save_checkpoint()
+        from .utils import trace_profile
+
+        with trace_profile(cfg.profile_dir):
+            while self.epoch_idx < cfg.nr_pass:
+                t0 = time.time()
+                with self.timer.phase("epoch"):
+                    self.state = self.solver.epoch(self.state)
+                    self._jax.block_until_ready(self.state)
+                self.epoch_idx += 1
+                t_epoch = time.time() - t0
+                if (
+                    self.evaluator is not None
+                    and self.epoch_idx % cfg.eval_every == 0
+                ):
+                    with self.timer.phase("validate"):
+                        metrics = self.validate()
+                    log(self._format_row(self.epoch_idx, metrics))
+                    self._write_jsonl(self.epoch_idx, metrics, t_epoch)
+                if cfg.ckpt_dir and self.epoch_idx % cfg.eval_every == 0:
+                    with self.timer.phase("checkpoint"):
+                        self.save_checkpoint()
         if cfg.model_path:
             save_text_model(
                 cfg.model_path, self.params_numpy(), self.data.layout, cfg.k
             )
         if cfg.ckpt_dir:
             self.save_checkpoint()
+        if cfg.timing:
+            self.timer.report(log)
         return metrics
 
     def validate(self) -> Dict[str, float]:
@@ -294,7 +307,12 @@ class Trainer:
     def _write_jsonl(self, t: int, m: Dict[str, float], t_epoch: float):
         if not self.cfg.jsonl_path:
             return
-        rec = dict(epoch=t, epoch_seconds=t_epoch, **m)
+        rec = dict(
+            epoch=t,
+            epoch_seconds=t_epoch,
+            examples_per_sec=self.data.m_users_true / max(t_epoch, 1e-9),
+            **m,
+        )
         with open(self.cfg.jsonl_path, "a") as fh:
             fh.write(json.dumps(rec) + "\n")
 
