@@ -159,7 +159,9 @@ class FFMSolver:
         self.meta = meta
         self.data = data
         self.blocks: List[BlockInfo] = meta.layout.all_blocks()
-        self._epoch = jax.jit(self._epoch_entry)
+        # donate the carried state: P/Q/a/b/yt buffers are dead after the
+        # epoch returns their successors (no-op on backends without donation)
+        self._epoch = jax.jit(self._epoch_entry, donate_argnums=(0,))
         self._objective = jax.jit(self._objective_entry)
         self._refresh = jax.jit(self._refresh_entry)
 

@@ -30,8 +30,12 @@ def build_sharded(rng, n_dev=8, **kw):
     state0 = solver.refresh_caches({"params": oracle_params_to_jax(params)})
 
     sdata = shard_data(data, mesh)
-    sstate = shard_state(state0, mesh)
     ssolver = FFMSolver(meta, sdata)
+    # independent buffers: the epoch donates its input state, and device_put
+    # to the same device aliases buffers, so sstate must not share with state0
+    sstate = shard_state(
+        ssolver.refresh_caches({"params": oracle_params_to_jax(params)}), mesh
+    )
     return solver, state0, ssolver, sstate, mesh
 
 
