@@ -40,6 +40,16 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_mesh2(
+    n_data: int, n_model: int, axes: tuple = ("data", "model")
+) -> Mesh:
+    """2-D mesh: rows sharded over ``data``, large field tables row-sharded
+    over ``model`` (the tensor-parallel analog for embedding tables whose
+    feature dimension exceeds one device's HBM)."""
+    devs = jax.devices()[: n_data * n_model]
+    return Mesh(np.asarray(devs).reshape(n_data, n_model), axes)
+
+
 def _put(tree, sharding):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
@@ -69,11 +79,53 @@ def replicate_params(params, mesh: Mesh):
     return _put(params, rep)
 
 
-def shard_state(state: Dict[str, Any], mesh: Mesh, axis: str = "data") -> Dict[str, Any]:
-    """Place solver state: P/Q/a/b/yt row-sharded, params replicated."""
+def shard_params_model(
+    params,
+    mesh: Mesh,
+    min_rows: int = 4096,
+    axis: str = "model",
+):
+    """Row-shard large block tables (D_f x k) over the ``model`` axis;
+    small tables stay replicated.  GSPMD turns lookups/updates against the
+    sharded tables into the necessary collectives (all-to-all / all-gather)
+    — the TPU equivalent of parameter-server style sharded embedding tables
+    (SURVEY.md §2.4 TP row)."""
+    if axis not in mesh.axis_names:
+        return replicate_params(params, mesh)
+    big = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+    msize = mesh.shape[axis]
+    out = {}
+    for f12, blk in params.items():
+        out[f12] = {
+            # device_put requires divisibility (pad table dims at creation
+            # for very large fields); non-divisible tables stay replicated
+            name: jax.device_put(
+                t,
+                big if t.shape[0] >= min_rows and t.shape[0] % msize == 0 else rep,
+            )
+            for name, t in blk.items()
+        }
+    return out
+
+
+def shard_state(
+    state: Dict[str, Any],
+    mesh: Mesh,
+    axis: str = "data",
+    model_min_rows: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Place solver state: P/Q/a/b/yt row-sharded; params replicated, or —
+    when ``model_min_rows`` is set and the mesh has a ``model`` axis — large
+    tables row-sharded over it."""
     row = NamedSharding(mesh, P(axis))
     out = dict(state)
-    out["params"] = replicate_params(state["params"], mesh)
+    if model_min_rows is not None:
+        out["params"] = shard_params_model(
+            state["params"], mesh, min_rows=model_min_rows
+        )
+    else:
+        out["params"] = replicate_params(state["params"], mesh)
     for key in ("P", "Q"):
         out[key] = {f12: _put(v, row) for f12, v in state[key].items()}
     for key in ("a", "b", "yt"):

@@ -74,3 +74,40 @@ def test_sharded_objective_matches(rng, eight_devices):
     ref = float(solver.objective(state0))
     got = float(ssolver.objective(sstate))
     np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+def test_2d_mesh_model_sharded_tables(rng, eight_devices):
+    """2x4 mesh: rows on 'data', big tables row-sharded on 'model'; the
+    epoch must still match single-device execution."""
+    from one_class_ffm_tpu.parallel.mesh import make_mesh2
+
+    prob, params = make_problem(rng, m=19, n=13, Du=(8, 4), Dv=(8, 4))
+    meta, data = to_device_problem(prob, row_pad=1, multiple=2)
+    mesh2 = make_mesh2(2, 4)
+
+    solver = FFMSolver(meta, data)
+    ref = solver.epoch(
+        solver.refresh_caches({"params": oracle_params_to_jax(params)})
+    )
+
+    sdata = shard_data(data, mesh2)
+    ssolver = FFMSolver(meta, sdata)
+    sstate = shard_state(
+        ssolver.refresh_caches({"params": oracle_params_to_jax(params)}),
+        mesh2,
+        model_min_rows=5,  # tiny threshold so several tables actually shard
+    )
+    f12_big = max(
+        sstate["params"], key=lambda f: sstate["params"][f]["W"].shape[0]
+    )
+    assert not sstate["params"][f12_big]["W"].sharding.is_fully_replicated
+    got = ssolver.epoch(sstate)
+    for f12, blk in ref["params"].items():
+        np.testing.assert_allclose(
+            np.asarray(got["params"][f12]["W"]), np.asarray(blk["W"]),
+            rtol=1e-9, atol=1e-11,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["params"][f12]["H"]), np.asarray(blk["H"]),
+            rtol=1e-9, atol=1e-11,
+        )
