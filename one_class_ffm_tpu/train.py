@@ -268,8 +268,16 @@ class Trainer:
         }
 
     def save_checkpoint(self):
+        lay = self.data.layout
         save_checkpoint(
-            self.cfg.ckpt_dir, self.params_numpy(), self.epoch_idx, self.cfg
+            self.cfg.ckpt_dir,
+            self.params_numpy(),
+            self.epoch_idx,
+            self.cfg,
+            layout=dict(
+                fu=lay.fu, fv=lay.fv, Du=list(lay.Du), Dv=list(lay.Dv),
+                self_side=lay.self_side,
+            ),
         )
 
     def load_checkpoint(self):
@@ -429,6 +437,7 @@ def save_checkpoint(
     params: Dict[int, Dict[str, np.ndarray]],
     epoch: int,
     cfg: TrainConfig,
+    layout: Optional[Dict] = None,
 ):
     os.makedirs(ckpt_dir, exist_ok=True)
     arrays = {}
@@ -438,8 +447,11 @@ def save_checkpoint(
     tmp = os.path.join(ckpt_dir, ".ckpt.tmp.npz")
     np.savez(tmp, epoch=np.int64(epoch), **arrays)
     os.replace(tmp, os.path.join(ckpt_dir, "ckpt.npz"))
+    doc = dataclasses.asdict(cfg)
+    if layout is not None:
+        doc["layout"] = layout
     with open(os.path.join(ckpt_dir, "config.json"), "w") as fh:
-        json.dump(dataclasses.asdict(cfg), fh, indent=2)
+        json.dump(doc, fh, indent=2)
 
 
 def has_checkpoint(ckpt_dir: str) -> bool:
