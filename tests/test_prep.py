@@ -159,3 +159,58 @@ def test_prep_output_trains(tmp_path):
     tr.run(log=lambda *_: None)
     m = tr.validate()
     assert 0.0 <= m["auc"] <= 1.0
+
+
+def write_kkbox_raw(raw_dir, n=500, seed=0):
+    rng = random.Random(seed)
+    os.makedirs(raw_dir, exist_ok=True)
+    users = [f"u{i}" for i in range(40)]
+    songs = [f"s{i}" for i in range(25)]
+    with open(os.path.join(raw_dir, "train.csv"), "w") as fh:
+        fh.write("msno,song_id,source_system_tab,target\n")
+        for _ in range(n):
+            fh.write(
+                f"{rng.choice(users)},{rng.choice(songs)},lib,{rng.randint(0,1)}\n"
+            )
+    with open(os.path.join(raw_dir, "songs.csv"), "w") as fh:
+        fh.write("song_id,song_length,genre_ids,artist_name,language\n")
+        for s in songs:
+            genres = "|".join(str(rng.randint(100, 105)) for _ in range(rng.randint(1, 2)))
+            fh.write(f"{s},200000,{genres},artist{rng.randint(1,8)},{rng.choice([3,17,52])}\n")
+    with open(os.path.join(raw_dir, "members.csv"), "w") as fh:
+        fh.write("msno,city,bd,gender,registered_via\n")
+        for u in users:
+            fh.write(f"{u},{rng.randint(1,5)},0,{rng.choice(['male','female',''])},{rng.randint(3,9)}\n")
+
+
+def test_kkbox_pipeline(tmp_path):
+    from one_class_ffm_tpu.prep import kkbox
+
+    raw = str(tmp_path / "raw")
+    out = str(tmp_path / "out")
+    write_kkbox_raw(raw)
+    rc = kkbox.main(["all", "--raw", raw, "--out", out, "--threshold", "2"])
+    assert rc == 0
+    song = parse_text_python(os.path.join(out, "top_song.ffm"), has_label=False)
+    assert song[7] == 2
+    n_songs = song[0].shape[0] - 1
+    assert n_songs > 0
+    lst = parse_text_python(os.path.join(out, "listener.ffm"), has_label=True)
+    assert lst[7] == 2
+    assert lst[5].max() < n_songs  # labels are song rows
+    # genre multi-values produce several field-1 features per song
+    assert (song[1] == 1).sum() >= n_songs
+    for t in ("tr", "va", "te"):
+        assert os.path.exists(os.path.join(out, f"listener.{t}.ffm"))
+    # trains end-to-end
+    from one_class_ffm_tpu.train import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        item_path=os.path.join(out, "top_song.ffm"),
+        train_path=os.path.join(out, "listener.tr.ffm"),
+        test_path=os.path.join(out, "listener.va.ffm"),
+        k=3, nr_pass=2, eval_every=2, dtype="float64", eval_chunk=16,
+    )
+    tr = Trainer(cfg)
+    tr.init_state()
+    tr.run(log=lambda *_: None)
