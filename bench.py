@@ -46,7 +46,10 @@ def main() -> int:
         avg_pos=5.0,
         seed=0,
     )
-    (du, dv), u_pad, v_pad, y_pad = build_padded(spec, dtype=np.float32)
+    # rows padded to 256 so the Pallas projection kernel's row blocks divide
+    (du, dv), u_pad, v_pad, y_pad = build_padded(
+        spec, dtype=np.float32, row_multiple=256
+    )
     layout = BlockLayout.make(du, dv, self_side=True)
     hp = HyperParams(k=k, lam=0.05, omega=0.1, r=-1.0)
     meta, data = make_device_data(u_pad, v_pad, y_pad, layout, hp, dtype=jnp.float32)

@@ -116,25 +116,11 @@ def make_device_data(
 # ---------------------------------------------------------------------------
 
 
-def project(idx: Array, val: Array, W: Array) -> Array:
-    """P = X W for a padded field: (m,p) x (D,k) -> (m,k).
-
-    The gather-FMA at the heart of everything (reference UTx/UTX,
-    ffm.cpp:314-331).  Pad slots have val == 0 so they vanish.
-    """
-    return jnp.einsum("mp,mpk->mk", val, W[idx])
-
-
-def scatter(idx: Array, val: Array, Z: Array, d: int) -> Array:
-    """G = X^T Z for a padded field: (m,p) x (m,k) -> (D,k).
-
-    The gradient scatter-add (transpose of ``project``); pad slots carry
-    val == 0 and idx == 0 so they add zeros to row 0.
-    """
-    k = Z.shape[-1]
-    flat_idx = idx.reshape(-1)
-    data = (val[..., None] * Z[:, None, :]).reshape(-1, k)
-    return jax.ops.segment_sum(data, flat_idx, num_segments=d)
+# The gather-FMA / scatter-add pair at the heart of everything (reference
+# UTx/UTX ffm.cpp:314-331 and the X^T z scatters).  Implementations live in
+# ops.sparse_ops (XLA baselines + a Pallas one-hot projection kernel that
+# dispatches automatically on TPU); re-exported here for callers.
+from ..ops.sparse_ops import project, scatter  # noqa: E402
 
 
 def seg_sum(data: Array, ids: Array, num: int) -> Array:

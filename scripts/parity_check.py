@@ -74,9 +74,11 @@ def main() -> int:
         ref_cmd.append("--ns")
     ref_cmd += [item, train]
     print("reference:", " ".join(ref_cmd))
-    ref_out = subprocess.run(
-        ref_cmd, capture_output=True, text=True, check=True
-    ).stdout
+    ref = subprocess.run(ref_cmd, capture_output=True, text=True)
+    if ref.returncode != 0:
+        print("reference FAILED:", ref.stderr[-800:])
+        return 1
+    ref_out = ref.stdout
 
     our_cmd = [sys.executable, "-m", "one_class_ffm_tpu", item, train,
                "-p", va, "-k", str(args.k), "-l", str(args.lam),
@@ -85,9 +87,11 @@ def main() -> int:
     if args.ns:
         our_cmd.append("--ns")
     print("ours:", " ".join(our_cmd))
-    our_out = subprocess.run(
-        our_cmd, capture_output=True, text=True, check=True
-    ).stdout
+    ours = subprocess.run(our_cmd, capture_output=True, text=True)
+    if ours.returncode != 0:
+        print("ours FAILED:", ours.stderr[-800:])
+        return 1
+    our_out = ours.stdout
 
     ref_row = last_metric_row(ref_out)
     our_row = last_metric_row(our_out)
