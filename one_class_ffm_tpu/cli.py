@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="native checkpoint directory (save + resume)")
     p.add_argument("--resume", action="store_true",
                    help="resume from --ckpt if a checkpoint exists")
+    p.add_argument("--ckpt-format", default="npz", choices=["npz", "orbax"],
+                   help="checkpoint format: npz (single-host) or orbax "
+                        "(sharded-native, async-capable)")
     p.add_argument("--jsonl", dest="jsonl_path", default=None,
                    help="append structured metrics JSONL here")
     p.add_argument("--predict-topk", type=int, default=0,
@@ -88,6 +91,7 @@ def config_from_args(args) -> TrainConfig:
         resume=args.resume,
         profile_dir=args.profile_dir,
         timing=args.timing,
+        ckpt_format=args.ckpt_format,
     )
 
 

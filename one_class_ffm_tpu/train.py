@@ -64,6 +64,7 @@ class TrainConfig:
     resume: bool = False
     profile_dir: Optional[str] = None  # jax.profiler trace output
     timing: bool = False  # print per-phase timing at the end
+    ckpt_format: str = "npz"  # "npz" (single-host) | "orbax" (sharded-native)
 
     def hyper(self) -> HyperParams:
         return HyperParams(
@@ -207,7 +208,13 @@ class Trainer:
     def init_state(self):
         import jax
 
-        if self.cfg.resume and self.cfg.ckpt_dir and has_checkpoint(self.cfg.ckpt_dir):
+        if self.cfg.ckpt_format == "orbax":
+            from .utils import orbax_ckpt as _oc
+
+            found = self.cfg.ckpt_dir and _oc.has_checkpoint(self.cfg.ckpt_dir)
+        else:
+            found = self.cfg.ckpt_dir and has_checkpoint(self.cfg.ckpt_dir)
+        if self.cfg.resume and found:
             self.load_checkpoint()
         else:
             self.state = self.solver.init(jax.random.key(self.cfg.seed))
@@ -269,20 +276,36 @@ class Trainer:
 
     def save_checkpoint(self):
         lay = self.data.layout
+        layout_doc = dict(
+            fu=lay.fu, fv=lay.fv, Du=list(lay.Du), Dv=list(lay.Dv),
+            self_side=lay.self_side,
+        )
+        if self.cfg.ckpt_format == "orbax":
+            from .utils import orbax_ckpt
+
+            orbax_ckpt.save(
+                self.cfg.ckpt_dir, self.state["params"], self.epoch_idx,
+                meta=dict(k=self.cfg.k, layout=layout_doc),
+            )
+            return
         save_checkpoint(
             self.cfg.ckpt_dir,
             self.params_numpy(),
             self.epoch_idx,
             self.cfg,
-            layout=dict(
-                fu=lay.fu, fv=lay.fv, Du=list(lay.Du), Dv=list(lay.Dv),
-                self_side=lay.self_side,
-            ),
+            layout=layout_doc,
         )
 
     def load_checkpoint(self):
         import jax.numpy as jnp
 
+        if self.cfg.ckpt_format == "orbax":
+            from .utils import orbax_ckpt
+
+            params, epoch = orbax_ckpt.load(self.cfg.ckpt_dir)
+            self.state = self.solver.refresh_caches({"params": params})
+            self.epoch_idx = epoch
+            return
         params_np, epoch = load_checkpoint(self.cfg.ckpt_dir)
         dtype = _np_dtype(self.cfg.dtype)
         params = {

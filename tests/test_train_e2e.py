@@ -147,3 +147,34 @@ def test_cli_smoke(dataset, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "iter" in out
     assert "ploss" in out
+
+
+def test_orbax_checkpoint_resume(dataset, tmp_path):
+    from one_class_ffm_tpu.utils import orbax_ckpt
+
+    if not orbax_ckpt.available():
+        pytest.skip("orbax not installed")
+    ck = str(tmp_path / "ock")
+    cfg = make_cfg(dataset, tmp_path, nr_pass=4, eval_every=2,
+                   ckpt_dir=ck, ckpt_format="orbax")
+    tr = Trainer(cfg)
+    tr.init_state()
+    tr.run(log=lambda *_: None)
+    assert orbax_ckpt.has_checkpoint(ck)
+
+    cfg2 = make_cfg(dataset, tmp_path, nr_pass=6, eval_every=2,
+                    ckpt_dir=ck, ckpt_format="orbax", resume=True)
+    tr2 = Trainer(cfg2)
+    tr2.init_state()
+    assert tr2.epoch_idx == 4
+    tr2.run(log=lambda *_: None)
+
+    cfg3 = make_cfg(dataset, tmp_path, nr_pass=6, eval_every=6)
+    tr3 = Trainer(cfg3)
+    tr3.init_state()
+    tr3.run(log=lambda *_: None)
+    p_res, p_ful = tr2.params_numpy(), tr3.params_numpy()
+    for f12 in p_ful:
+        np.testing.assert_allclose(
+            p_res[f12]["W"], p_ful[f12]["W"], rtol=1e-7, atol=1e-9
+        )
