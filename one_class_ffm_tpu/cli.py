@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace here (TensorBoard format)")
     p.add_argument("--timing", action="store_true",
                    help="print per-phase timing summary at the end")
+    p.add_argument("--config", default=None,
+                   help="JSON file of TrainConfig fields; explicit CLI flags "
+                        "override it")
     return p
 
 
@@ -126,6 +129,31 @@ def main(argv=None) -> int:
             print(f"ocffm: error: {what} not found: {path}", file=sys.stderr)
             return 1
     cfg = config_from_args(args)
+    if args.config:
+        import dataclasses
+        import json
+
+        with open(args.config) as fh:
+            overrides = json.load(fh)
+        valid = {f.name for f in dataclasses.fields(cfg)}
+        bad = set(overrides) - valid
+        if bad:
+            print(f"ocffm: error: unknown config keys: {sorted(bad)}",
+                  file=sys.stderr)
+            return 1
+        # config file fills fields the CLI left at defaults; explicit CLI
+        # flags win (argparse gives no provenance, so compare to defaults)
+        defaults = config_from_args(build_parser().parse_args(
+            [args.item_file, args.train_file]
+        ))
+        merged = {}
+        for f in dataclasses.fields(cfg):
+            cli_val = getattr(cfg, f.name)
+            if f.name in overrides and cli_val == getattr(defaults, f.name):
+                merged[f.name] = overrides[f.name]
+            else:
+                merged[f.name] = cli_val
+        cfg = type(cfg)(**merged)
     trainer = Trainer(cfg)
     trainer.run()
     if args.predict_topk and trainer.evaluator is not None:

@@ -178,3 +178,32 @@ def test_orbax_checkpoint_resume(dataset, tmp_path):
         np.testing.assert_allclose(
             p_res[f12]["W"], p_ful[f12]["W"], rtol=1e-7, atol=1e-9
         )
+
+
+def test_cli_config_file(dataset, tmp_path, capsys):
+    import json
+
+    from one_class_ffm_tpu.cli import main
+
+    item, train, va = dataset
+    cfgf = tmp_path / "run.json"
+    cfgf.write_text(json.dumps({"k": 5, "nr_pass": 2, "eval_every": 2,
+                                "dtype": "float64", "test_path": va}))
+    rc = main([item, train, "--config", str(cfgf)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "iter" in out
+
+    # explicit CLI flag overrides the config file
+    model = str(tmp_path / "m.txt")
+    rc = main([item, train, "--config", str(cfgf), "-k", "2", "-o", model])
+    assert rc == 0
+    from one_class_ffm_tpu.train import load_text_model
+
+    _, k, _ = load_text_model(model)
+    assert k == 2
+
+    # unknown keys rejected
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"nope": 1}))
+    assert main([item, train, "--config", str(bad)]) == 1
