@@ -66,6 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace here (TensorBoard format)")
     p.add_argument("--timing", action="store_true",
                    help="print per-phase timing summary at the end")
+    p.add_argument("--verbose", action="store_true",
+                   help="print dataset/model summary before training")
     p.add_argument("--config", default=None,
                    help="JSON file of TrainConfig fields; explicit CLI flags "
                         "override it")
@@ -155,6 +157,8 @@ def main(argv=None) -> int:
                 merged[f.name] = cli_val
         cfg = type(cfg)(**merged)
     trainer = Trainer(cfg)
+    if args.verbose:
+        trainer.describe()
     trainer.run()
     if args.predict_topk and trainer.evaluator is not None:
         top = trainer.predict_topk(k=args.predict_topk)

@@ -121,6 +121,25 @@ class Evaluator:
         self._n_chunks = -(-meta.mt // self.chunk)
         self._chunk_fn = jax.jit(self._eval_chunk)
 
+    def shard(self, mesh, axis: str = "data") -> "Evaluator":
+        """Data-parallel evaluation: test-user rows sharded over the mesh.
+
+        Each device scores its user shard against the (replicated) item
+        side; per-chunk metric sums are psum'd by GSPMD.  Use a chunk size
+        divisible by the mesh size so chunk slices align with shards.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        row = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+        d = dict(self.data)
+        d["xva_idx"] = tuple(jax.device_put(a, row) for a in d["xva_idx"])
+        d["xva_val"] = tuple(jax.device_put(a, row) for a in d["xva_val"])
+        for key in ("labels", "n_labels", "cold", "valid"):
+            d[key] = jax.device_put(d[key], row)
+        d["popular"] = jax.device_put(d["popular"], rep)
+        return Evaluator(self.meta, d, chunk=self.chunk)
+
     # -- projections ---------------------------------------------------------
 
     def _project_users(self, params) -> Tuple[Dict[int, Array], Array]:

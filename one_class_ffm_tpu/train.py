@@ -221,6 +221,25 @@ class Trainer:
             self.epoch_idx = 0
         return self.state
 
+    def describe(self, log=print):
+        """Dataset summary (reference print_data_info, ffm.cpp:296-312)."""
+        d = self.data
+        cfg = self.cfg
+        log(f"train: {cfg.train_path}  users={d.m_users_true} "
+            f"fields={d.u_pad.f} dims={list(d.u_pad.Ds)} "
+            f"positives={d.nnz_true}")
+        log(f"items: {cfg.item_path}  items={d.n_items_true} "
+            f"fields={d.v_pad.f} dims={list(d.v_pad.Ds)} "
+            f"catalog={len(d.popular)}")
+        if d.uva_pad is not None:
+            n_labels = sum(len(l) for l in d.va_labels)
+            log(f"test:  {cfg.test_path}  users={len(d.va_labels)} "
+                f"labels={n_labels}")
+        blocks = d.layout.all_blocks()
+        n_params = sum(b.d1 * cfg.k + b.d2 * cfg.k for b in blocks)
+        log(f"model: k={cfg.k} blocks={len(blocks)} "
+            f"(self_side={cfg.self_side}) params={n_params:,}")
+
     # -- training loop --------------------------------------------------------
 
     def run(self, log=print) -> Dict[str, float]:

@@ -111,3 +111,47 @@ def test_2d_mesh_model_sharded_tables(rng, eight_devices):
             np.asarray(got["params"][f12]["H"]), np.asarray(blk["H"]),
             rtol=1e-9, atol=1e-11,
         )
+
+
+def test_sharded_evaluator_matches(rng, eight_devices):
+    """Evaluator with test users sharded over the mesh == unsharded."""
+    import jax.numpy as jnp
+    from conftest import dense_to_padded, make_problem
+    from one_class_ffm_tpu.data.dataset import PaddedFields
+    from one_class_ffm_tpu.evalx.jax_eval import Evaluator, make_eval_data
+
+    prob, params = make_problem(rng, m=16, n=8)
+    lay = prob.layout
+    m, n = prob.m, prob.n
+    pads = [dense_to_padded(X, m) for X in prob.Xu]
+    uva = PaddedFields(
+        m=m, m_true=m, f=len(prob.Xu), Ds=tuple(X.shape[1] for X in prob.Xu),
+        idx=tuple(p[0] for p in pads), val=tuple(p[1] for p in pads),
+        freq=tuple(np.ones(X.shape[1]) for X in prob.Xu),
+        row_nnz=sum((X != 0).sum(axis=1) for X in prob.Xu).astype(np.int32),
+    )
+    va_labels = [np.nonzero(prob.pos[i])[0] for i in range(m)]
+    popular = np.full(n, 1.0 / n)
+    meta, data = make_eval_data(
+        uva, va_labels, popular, n_items=n, n_items_true=n, layout=lay,
+        dtype=jnp.float64,
+    )
+    jparams = {
+        b.f12: {"W": jnp.asarray(params["W"][b.f12]),
+                "H": jnp.asarray(params["H"][b.f12])}
+        for b in lay.all_blocks()
+    }
+    Q = {b.f12: jnp.asarray(prob.Xv[b.fj] @ params["H"][b.f12])
+         for b in lay.cross_blocks()}
+    bt = jnp.zeros(n, jnp.float64)
+    for b in lay.item_self_blocks():
+        bt = bt + jnp.sum(
+            jnp.asarray(prob.Xv[b.fi] @ params["W"][b.f12])
+            * jnp.asarray(prob.Xv[b.fj] @ params["H"][b.f12]), axis=1)
+
+    ev = Evaluator(meta, data, chunk=8)
+    ref = ev.validate(jparams, Q, bt)
+    sev = ev.shard(make_mesh(8))
+    got = sev.validate(jparams, Q, bt)
+    for key, val in ref.items():
+        np.testing.assert_allclose(got[key], val, rtol=1e-10, err_msg=key)

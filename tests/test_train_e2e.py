@@ -207,3 +207,36 @@ def test_cli_config_file(dataset, tmp_path, capsys):
     bad = tmp_path / "bad.json"
     bad.write_text(json.dumps({"nope": 1}))
     assert main([item, train, "--config", str(bad)]) == 1
+
+
+def test_verbose_describe(dataset, tmp_path):
+    cfg = make_cfg(dataset, tmp_path, nr_pass=1)
+    tr = Trainer(cfg)
+    rows = []
+    tr.describe(log=rows.append)
+    text = "\n".join(rows)
+    assert "users=120" in text and "blocks=" in text and "params=" in text
+
+
+def test_bfloat16_training_is_finite(dataset, tmp_path):
+    """bf16 storage: experimental, but must not diverge/NaN on tiny data."""
+    cfg = make_cfg(dataset, tmp_path, nr_pass=3, eval_every=3, dtype="bfloat16")
+    tr = Trainer(cfg)
+    tr.init_state()
+    tr.run(log=lambda *_: None)
+    m = tr.validate()
+    assert np.isfinite(m["ploss"])
+    assert 0.0 <= m["auc"] <= 1.0
+    for f12, blk in tr.params_numpy().items():
+        assert np.all(np.isfinite(blk["W"].astype(np.float32)))
+
+
+def test_profiler_trace_writes_output(dataset, tmp_path):
+    prof = str(tmp_path / "trace")
+    cfg = make_cfg(dataset, tmp_path, nr_pass=1, eval_every=1, profile_dir=prof)
+    tr = Trainer(cfg)
+    tr.init_state()
+    tr.run(log=lambda *_: None)
+    assert os.path.isdir(prof)
+    found = [f for _, _, fs in os.walk(prof) for f in fs]
+    assert found, "profiler trace produced no files"
