@@ -120,16 +120,6 @@ def main(argv=None) -> int:
 
         # set via config (the TPU plugin overrides the env var at startup)
         jax.config.update("jax_platforms", args.platform)
-    if args.k < 1:
-        build_parser().error(f"-k must be >= 1 (got {args.k})")
-    if args.nr_pass < 0:
-        build_parser().error(f"-t must be >= 0 (got {args.nr_pass})")
-    for path, what in [(args.item_file, "item file"), (args.train_file, "train file")] + (
-        [(args.test_path, "test file")] if args.test_path else []
-    ):
-        if not os.path.exists(path):
-            print(f"ocffm: error: {what} not found: {path}", file=sys.stderr)
-            return 1
     cfg = config_from_args(args)
     if args.config:
         import dataclasses
@@ -156,6 +146,17 @@ def main(argv=None) -> int:
             else:
                 merged[f.name] = cli_val
         cfg = type(cfg)(**merged)
+    # validate the MERGED config (a config file can set/override paths)
+    if cfg.k < 1:
+        build_parser().error(f"-k must be >= 1 (got {cfg.k})")
+    if cfg.nr_pass < 0:
+        build_parser().error(f"-t must be >= 0 (got {cfg.nr_pass})")
+    for path, what in [(cfg.item_path, "item file"), (cfg.train_path, "train file")] + (
+        [(cfg.test_path, "test file")] if cfg.test_path else []
+    ):
+        if not os.path.exists(path):
+            print(f"ocffm: error: {what} not found: {path}", file=sys.stderr)
+            return 1
     trainer = Trainer(cfg)
     if args.verbose:
         trainer.describe()

@@ -195,7 +195,8 @@ class PaddedFields:
 
 
 def _round_up(x: int, mult: int) -> int:
-    return ((x + mult - 1) // mult) * mult if mult > 1 else max(x, 1)
+    x = max(x, 1)  # never produce zero-row device arrays
+    return ((x + mult - 1) // mult) * mult if mult > 1 else x
 
 
 def pad_fields(

@@ -77,7 +77,11 @@ def make_eval_data(
         labels[i, : len(l)] = np.asarray(l, dtype=np.int32)
         n_labels[i] = len(l)
     pop = np.zeros(n_items, dtype=np.float64)
-    pop[: len(popular)] = popular
+    # popular may be longer than the item rows (train labels referencing
+    # items absent from the item file — the reference reads out of bounds
+    # there, ffm.cpp:1031; we truncate)
+    npop = min(len(popular), n_items)
+    pop[:npop] = popular[:npop]
     meta = EvalMeta(
         layout=layout,
         mt=mt,
@@ -225,26 +229,17 @@ class Evaluator:
         lt = lt.astype(meta.dtype)
         ties = (rt - lt).astype(meta.dtype) - 1.0  # minus self
         npos = jnp.sum(pos_ok, axis=1).astype(meta.dtype)
-        # among-positive comparisons to subtract
-        lt_pp = jnp.sum(
-            jnp.where(
-                pos_ok[:, :, None] & pos_ok[:, None, :],
-                (z_pos[:, None, :] < z_pos[:, :, None]).astype(meta.dtype),
-                0.0,
-            ),
-            axis=2,
-        )
-        tie_pp = (
-            jnp.sum(
-                jnp.where(
-                    pos_ok[:, :, None] & pos_ok[:, None, :],
-                    (z_pos[:, None, :] == z_pos[:, :, None]).astype(meta.dtype),
-                    0.0,
-                ),
-                axis=2,
-            )
-            - 1.0
-        )
+        # among-positive comparisons to subtract — O(L log L) via a sorted
+        # copy with invalid slots pushed to +inf (never below a finite query)
+        zp_masked = jnp.where(pos_ok, z_pos, jnp.inf)
+        srt_p = jnp.sort(zp_masked, axis=1)
+        lt_pp = jax.vmap(lambda s, q: jnp.searchsorted(s, q, side="left"))(
+            srt_p, z_pos
+        ).astype(meta.dtype)
+        rt_pp = jax.vmap(lambda s, q: jnp.searchsorted(s, q, side="right"))(
+            srt_p, z_pos
+        ).astype(meta.dtype)
+        tie_pp = rt_pp - lt_pp - 1.0  # ties among positives minus self
         per_pos = jnp.where(pos_ok, (lt - lt_pp) + 0.5 * (ties - tie_pp), 0.0)
         nneg = meta.catalog - npos
         denom = npos * nneg

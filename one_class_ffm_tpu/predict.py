@@ -66,7 +66,9 @@ def predict_topk_from_model(
 
     from .solver.jax_solver import project
 
-    v_raw = read_data(item_path, has_label=False)
+    # the model's field dims are the ds filter for BOTH sides: unseen feature
+    # ids in updated item/user files must drop, not clamp into the tables
+    v_raw = read_data(item_path, has_label=False, ds=list(layout.Dv))
     v_fd = split_fields(v_raw, f_override=layout.fv)
     v_pad = pad_fields(v_fd, dtype=np.float32)
     u_raw = read_data(user_path, has_label=labeled, ds=list(layout.Du))
@@ -99,7 +101,8 @@ def predict_topk_from_model(
     cat = int(min(catalog or v_fd.m, v_fd.m))
     pop = np.zeros(v_pad.m, np.float32)
     if popular is not None:
-        pop[: len(popular)] = popular
+        npop = min(len(popular), v_pad.m)
+        pop[:npop] = popular[:npop]
 
     @jax.jit
     def score(uidx, uval, cold):
@@ -138,6 +141,9 @@ def main(argv=None) -> int:
                     help="emit id:score pairs instead of bare ids")
     ap.add_argument("--labeled", action="store_true",
                     help="user file rows start with a label block (ignored)")
+    ap.add_argument("--popular-from", default=None,
+                    help="labeled training file to build the popularity "
+                         "prior for cold users (otherwise cold users score 0)")
     ap.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"])
     args = ap.parse_args(argv)
     if not args.model and not args.ckpt:
@@ -147,10 +153,14 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
     layout, k_rank, params = load_any_model(args.model, args.ckpt)
+    popular = None
+    if args.popular_from:
+        pop_raw = read_data(args.popular_from, has_label=True)
+        popular = pop_raw.popular
     ids, scores = predict_topk_from_model(
         layout, k_rank, params, args.item_file, args.user_file,
         args.top_k, catalog=args.catalog, with_scores=args.scores,
-        labeled=args.labeled,
+        labeled=args.labeled, popular=popular,
     )
     for i, row in enumerate(ids):
         if args.scores:

@@ -65,6 +65,11 @@ def cmd_add_label(raw_dir: str, out_dir: str) -> None:
     ev = events.merge(clicks, on="display_id", how="left")
     ev = ev.merge(ads, on="ad_id", how="left")
     ev = ev.merge(meta, left_on="document_id_x", right_on="document_id", how="left")
+    # rows whose clicked ad is missing from promoted_content have no label;
+    # drop them and keep the label column integral (a NaN would upcast the
+    # column to float and '12.0' labels break the int parsers downstream)
+    ev = ev.dropna(subset=["label"])
+    ev = ev.assign(label=ev["label"].astype(int))
     ev.to_csv(os.path.join(out_dir, "events_filter_label.csv"), index=False)
 
     # item side: promoted_content joined with its document's meta

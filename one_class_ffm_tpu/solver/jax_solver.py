@@ -526,9 +526,6 @@ class FFMSolver:
         alpha = at - hp.r  # fold r into the user side
         sumP = {c.f12: jnp.sum(P[c.f12][:m], axis=0) for c in cross_blocks}
         sumQ = {c.f12: jnp.sum(Q[c.f12][:n], axis=0) for c in cross_blocks}
-        sa = jnp.zeros(m, meta.dtype)
-        for c in cross_blocks:
-            sa = sa + P[c.f12][:m] @ sumQ[c.f12]
         # E2 = sum_i sum_j (alpha_i + b_j + s_ij)^2 where s_ij = sum_c <P,Q>
         #    = n sum alpha^2 + m sum b^2 + sum s^2 + 2 sum_i alpha_i sum_j b_j
         #      + 2 sum_ij (alpha_i + b_j) s_ij

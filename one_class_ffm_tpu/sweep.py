@@ -69,8 +69,13 @@ def log_path(
     return os.path.join(log_root, d, variant, f"{stem}.{lam_s}.{omega_str(omega)}.{variant}")
 
 
-def is_complete(path: str, epochs: int) -> bool:
-    """A log is complete when its last row is the final epoch's row."""
+def is_complete(path: str, epochs: int, eval_every: int = 10) -> bool:
+    """A job is complete when its .done marker exists (written by this
+    runner on success), or — for logs produced outside the runner, e.g. by
+    the reference — when the last row is the final evaluated epoch
+    ((epochs // eval_every) * eval_every)."""
+    if os.path.exists(path + ".done"):
+        return True
     if not os.path.exists(path):
         return False
     last = ""
@@ -79,7 +84,8 @@ def is_complete(path: str, epochs: int) -> bool:
             if ln.strip():
                 last = ln.strip()
     toks = last.split()
-    return bool(toks) and toks[0] == str(epochs)
+    final_eval = (epochs // max(eval_every, 1)) * max(eval_every, 1)
+    return bool(toks) and toks[0] == str(final_eval) and final_eval > 0
 
 
 @dataclass
@@ -133,11 +139,12 @@ def run_sweep(
     Returns (ran, skipped, failed)."""
     jobs = build_jobs(spec)
     epochs = int(spec.get("epochs", 100))
+    eval_every = int(spec.get("eval_every", 10))
     n_jobs = int(spec.get("jobs", 1))
     pending = []
     skipped = 0
     for j in jobs:
-        if is_complete(j.log, epochs):
+        if is_complete(j.log, epochs, eval_every):
             skipped += 1
             echo(f"skip (complete): {j.log}")
         else:
@@ -151,26 +158,29 @@ def run_sweep(
     ran = failed = 0
 
     def reap(block: bool):
+        """Process finished jobs.  block=True waits until at least one slot
+        frees (NOT until all jobs finish — a slow job must not hold idle
+        slots hostage, matching xargs -P semantics)."""
         nonlocal ran, failed
         while running:
             done = [t for t in running if t[0].poll() is not None]
-            if not done and not block:
+            if done:
+                for t in done:
+                    proc, job, fh = t
+                    fh.close()
+                    running.remove(t)
+                    if proc.returncode == 0:
+                        ran += 1
+                        with open(job.log + ".done", "w") as mk:
+                            mk.write("ok\n")
+                        echo(f"done: {job.log}")
+                    else:
+                        failed += 1
+                        echo(f"FAILED (rc={proc.returncode}): {job.log}")
                 return
-            if not done:
-                time.sleep(0.5)
-                continue
-            for t in done:
-                proc, job, fh = t
-                fh.close()
-                running.remove(t)
-                if proc.returncode == 0:
-                    ran += 1
-                    echo(f"done: {job.log}")
-                else:
-                    failed += 1
-                    echo(f"FAILED (rc={proc.returncode}): {job.log}")
             if not block:
                 return
+            time.sleep(0.5)
 
     for j in pending:
         while len(running) >= n_jobs:

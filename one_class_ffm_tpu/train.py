@@ -184,7 +184,7 @@ class Trainer:
         self.meta = meta
         self.solver = FFMSolver(meta, dev)
         self.evaluator = None
-        if d.uva_pad is not None:
+        if d.uva_pad is not None and d.va_labels:
             emeta, edata = make_eval_data(
                 d.uva_pad,
                 d.va_labels,

@@ -64,9 +64,18 @@ def test_build_jobs_grid(tmp_path):
 def test_is_complete(tmp_path):
     p = tmp_path / "log"
     p.write_text("iter header\n 2 ( 1 , 2 ) 0.5\n")
-    assert not is_complete(str(p), 4)
+    assert not is_complete(str(p), 4, eval_every=2)
     p.write_text("iter header\n 2 ( 1 , 2 ) 0.5\n 4 ( 1 , 2 ) 0.5\n")
-    assert is_complete(str(p), 4)
+    assert is_complete(str(p), 4, eval_every=2)
+    # epochs not a multiple of eval_every: last eval row is epoch 100
+    p.write_text("100 ( 1 , 2 ) 0.5\n")
+    assert is_complete(str(p), 105, eval_every=10)
+    assert not is_complete(str(p), 110, eval_every=10)
+    # the runner's .done marker always wins (covers no-test-set variants)
+    q = tmp_path / "log2"
+    q.write_text("")
+    (tmp_path / "log2.done").write_text("ok\n")
+    assert is_complete(str(q), 4, eval_every=2)
 
 
 def test_sweep_dry_run_and_skip(tmp_path):
