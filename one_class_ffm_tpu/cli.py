@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace here (TensorBoard format)")
     p.add_argument("--timing", action="store_true",
                    help="print per-phase timing summary at the end")
+    p.add_argument("--init-model", default=None,
+                   help="warm-start from a saved text model (ours or the "
+                        "reference's)")
     p.add_argument("--verbose", action="store_true",
                    help="print dataset/model summary before training")
     p.add_argument("--config", default=None,
@@ -97,6 +100,7 @@ def config_from_args(args) -> TrainConfig:
         profile_dir=args.profile_dir,
         timing=args.timing,
         ckpt_format=args.ckpt_format,
+        init_model=args.init_model,
     )
 
 

@@ -65,6 +65,7 @@ class TrainConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace output
     timing: bool = False  # print per-phase timing at the end
     ckpt_format: str = "npz"  # "npz" (single-host) | "orbax" (sharded-native)
+    init_model: Optional[str] = None  # warm-start from a text model file
 
     def hyper(self) -> HyperParams:
         return HyperParams(
@@ -216,10 +217,43 @@ class Trainer:
             found = self.cfg.ckpt_dir and has_checkpoint(self.cfg.ckpt_dir)
         if self.cfg.resume and found:
             self.load_checkpoint()
+        elif self.cfg.init_model:
+            self.warm_start(self.cfg.init_model)
         else:
             self.state = self.solver.init(jax.random.key(self.cfg.seed))
             self.epoch_idx = 0
         return self.state
+
+    def warm_start(self, model_path: str):
+        """Initialize from a saved text model (ours or the reference's own
+        save_model output, ffm.cpp:1163-1237) and continue training."""
+        import jax.numpy as jnp
+
+        layout, k, params_np = load_text_model(model_path)
+        lay = self.data.layout
+        if k != self.cfg.k:
+            raise ValueError(f"model k={k} != config k={self.cfg.k}")
+        if (layout.fu, layout.fv) != (lay.fu, lay.fv):
+            raise ValueError(
+                f"model fields ({layout.fu},{layout.fv}) != data "
+                f"({lay.fu},{lay.fv})"
+            )
+        dtype = _np_dtype(self.cfg.dtype)
+        params = {}
+        for b in lay.all_blocks():
+            blk = params_np[b.f12]
+            W = np.zeros((b.d1, k))
+            H = np.zeros((b.d2, k))
+            # model dims may be smaller than this dataset's (new features
+            # since the model was trained): those rows start at zero
+            w_src, h_src = blk["W"], blk["H"]
+            W[: min(b.d1, w_src.shape[0])] = w_src[: b.d1]
+            H[: min(b.d2, h_src.shape[0])] = h_src[: b.d2]
+            params[b.f12] = {
+                "W": jnp.asarray(W, dtype), "H": jnp.asarray(H, dtype)
+            }
+        self.state = self.solver.refresh_caches({"params": params})
+        self.epoch_idx = 0
 
     def describe(self, log=print):
         """Dataset summary (reference print_data_info, ffm.cpp:296-312)."""
