@@ -41,16 +41,30 @@ _VMEM_BUDGET = 8 * 1024 * 1024  # bytes allowed for the table block
 
 
 def project_xla(idx: Array, val: Array, W: Array) -> Array:
-    """P = X W via take + einsum (XLA fuses the FMA into the gather)."""
-    return jnp.einsum("mp,mpk->mk", val, W[idx])
+    """P = X W, unrolled over the (small) per-row slot dimension p.
+
+    A single einsum over a materialized (m, p, k) gather OOMs at scale on
+    TPU: the trailing (p, k) dims are tile-padded to (8, 128) — up to 32x
+    memory expansion for p=1, k=32.  Per-slot (m, k) gathers only pay the
+    lane padding on k.
+    """
+    p = idx.shape[1]
+    out = val[:, 0, None] * W[idx[:, 0]]
+    for s in range(1, p):
+        out = out + val[:, s, None] * W[idx[:, s]]
+    return out
 
 
 def scatter_xla(idx: Array, val: Array, Z: Array, d: int) -> Array:
-    """G = X^T Z via segment_sum (pads carry val == 0)."""
-    k = Z.shape[-1]
-    flat_idx = idx.reshape(-1)
-    data = (val[..., None] * Z[:, None, :]).reshape(-1, k)
-    return jax.ops.segment_sum(data, flat_idx, num_segments=d)
+    """G = X^T Z via per-slot segment_sum (same padding rationale as
+    project_xla; pads carry val == 0 so they contribute zeros)."""
+    p = idx.shape[1]
+    out = jax.ops.segment_sum(val[:, 0, None] * Z, idx[:, 0], num_segments=d)
+    for s in range(1, p):
+        out = out + jax.ops.segment_sum(
+            val[:, s, None] * Z, idx[:, s], num_segments=d
+        )
+    return out
 
 
 def _project_kernel(p: int, d: int, k: int, idx_ref, val_ref, w_ref, out_ref):
@@ -114,3 +128,61 @@ def project(idx: Array, val: Array, W: Array) -> Array:
 def scatter(idx: Array, val: Array, Z: Array, d: int) -> Array:
     """Scatter always uses the XLA segment_sum path (measured faster)."""
     return scatter_xla(idx, val, Z, d)
+
+
+# ---------------------------------------------------------------------------
+# Positive-stream (COO) ops with bounded intermediates
+# ---------------------------------------------------------------------------
+#
+# The gradient/Hv positive passes gather (nnz, k) rows from P/Q and reduce
+# them (row-dot or segment-sum).  Materializing the whole gather at once
+# OOMs at scale: a (10M, 32) f32 gather is 1.28 GB unpadded and 5.1 GB after
+# TPU lane padding (k=32 -> 128).  These helpers process the COO stream in
+# fixed chunks so the transient is (chunk, k) regardless of nnz.
+
+_NNZ_CHUNK = int(os.environ.get("OCFFM_NNZ_CHUNK", 1 << 21))
+
+
+def _pad_to(arr: Array, total: int, fill) -> Array:
+    return jnp.pad(arr, (0, total - arr.shape[0]), constant_values=fill)
+
+
+def pos_dot(A: Array, u_ids: Array, B: Array, v_ids: Array,
+            max_chunk: int = 0) -> Array:
+    """out[t] = <A[u_ids[t]], B[v_ids[t]]> over the COO stream (nnz,)."""
+    max_chunk = max_chunk or _NNZ_CHUNK
+    nnz = u_ids.shape[0]
+    if nnz <= max_chunk:
+        return jnp.sum(A[u_ids] * B[v_ids], axis=1)
+    n_chunks = -(-nnz // max_chunk)
+    total = n_chunks * max_chunk
+    up = _pad_to(u_ids, total, 0).reshape(n_chunks, max_chunk)
+    vp = _pad_to(v_ids, total, 0).reshape(n_chunks, max_chunk)
+    out = jax.lax.map(lambda uv: jnp.sum(A[uv[0]] * B[uv[1]], axis=1), (up, vp))
+    return out.reshape(total)[:nnz]
+
+
+def pos_scatter(w: Array, B: Array, take_ids: Array, seg_ids: Array,
+                num_out: int, max_chunk: int = 0) -> Array:
+    """out[s] += w[t] * B[take_ids[t]] for seg_ids[t] == s: the positive-pass
+    scatter (w carries the pad mask, so padded slots contribute zeros; pad
+    segment ids == num_out are dropped by segment_sum)."""
+    max_chunk = max_chunk or _NNZ_CHUNK
+    nnz = w.shape[0]
+    if nnz <= max_chunk:
+        return jax.ops.segment_sum(
+            w[:, None] * B[take_ids], seg_ids, num_segments=num_out
+        )
+    n_chunks = -(-nnz // max_chunk)
+    total = n_chunks * max_chunk
+    wp = _pad_to(w, total, 0.0).reshape(n_chunks, max_chunk)
+    tp = _pad_to(take_ids, total, 0).reshape(n_chunks, max_chunk)
+    sp = _pad_to(seg_ids, total, num_out).reshape(n_chunks, max_chunk)
+
+    def body(i, acc):
+        return acc + jax.ops.segment_sum(
+            wp[i][:, None] * B[tp[i]], sp[i], num_segments=num_out
+        )
+
+    init = jnp.zeros((num_out, B.shape[1]), B.dtype)
+    return jax.lax.fori_loop(0, n_chunks, body, init)

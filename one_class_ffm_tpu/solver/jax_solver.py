@@ -120,7 +120,9 @@ def make_device_data(
 # UTx/UTX ffm.cpp:314-331 and the X^T z scatters).  Implementations live in
 # ops.sparse_ops (XLA baselines + a Pallas one-hot projection kernel that
 # dispatches automatically on TPU); re-exported here for callers.
-from ..ops.sparse_ops import project, scatter  # noqa: E402
+# pos_dot / pos_scatter are the COO positive-pass reductions with bounded
+# (chunk, k) intermediates — a full (nnz, k) gather OOMs at scale.
+from ..ops.sparse_ops import pos_dot, pos_scatter, project, scatter  # noqa: E402
 
 
 def seg_sum(data: Array, ids: Array, num: int) -> Array:
@@ -233,7 +235,7 @@ class FFMSolver:
         u, v = d["pos_u"], d["pos_v"]
         z = a[u] + b_vec[v]
         for blk in self.meta.layout.cross_blocks():
-            z = z + jnp.sum(P[blk.f12][u] * Q[blk.f12][v], axis=1)
+            z = z + pos_dot(P[blk.f12], u, Q[blk.f12], v)
         return z
 
     # -- ω-term rank-k caches -------------------------------------------------
@@ -311,7 +313,7 @@ class FFMSolver:
             dense = hp.omega * (
                 (state["a"] - hp.r)[:, None] * oQ[None, :] + bQ[None, :] + gram_T
             )
-            zpos = seg_sum(c[:, None] * Q1[d["pos_v"]], d["pos_u"], meta.m)
+            zpos = pos_scatter(c, Q1, d["pos_v"], d["pos_u"], meta.m)
         else:
             P1 = state["P"][f12]  # (m, k)
             oQ = jnp.sum(P1, axis=0)
@@ -323,7 +325,7 @@ class FFMSolver:
             dense = hp.omega * (
                 (state["b"] - hp.r)[:, None] * oQ[None, :] + bQ[None, :] + gram_T
             )
-            zpos = seg_sum(c[:, None] * P1[d["pos_u"]], d["pos_v"], meta.n)
+            zpos = pos_scatter(c, P1, d["pos_u"], d["pos_v"], meta.n)
         Z = dense + zpos
         return hp.lam * reg[:, None] * T + scatter(i1, v1, Z, T.shape[0])
 
@@ -372,10 +374,8 @@ class FFMSolver:
         def hv(V: Array) -> Array:
             phi = project(i1, v1, V)  # (rows, k)
             dense = hp.omega * (phi @ QTQ)
-            pq = jnp.sum(phi[own] * Q1[other], axis=1) * w_pos
-            zp = seg_sum(
-                ((1.0 - hp.omega) * pq)[:, None] * Q1[other], own, num
-            )
+            pq = pos_dot(phi, own, Q1, other) * w_pos
+            zp = pos_scatter((1.0 - hp.omega) * pq, Q1, other, own, num)
             return hp.lam * reg[:, None] * V + scatter(i1, v1, dense + zp, dim)
 
         return hv
@@ -441,7 +441,7 @@ class FFMSolver:
         else:
             own_ids = d["pos_u"] if first else d["pos_v"]
             oth_ids = d["pos_v"] if first else d["pos_u"]
-            gap = jnp.sum(dP[own_ids] * other[oth_ids], axis=1)
+            gap = pos_dot(dP, own_ids, other, oth_ids)
             state["yt"] = state["yt"] + gap * d["pos_w"]
         return state
 

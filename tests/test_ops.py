@@ -49,3 +49,50 @@ def test_scatter_transpose_consistency(rng):
     lhs = float(jnp.sum(project_xla(idx, val, W) * Z))
     rhs = float(jnp.sum(W * scatter_xla(idx, val, Z, d)))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_pos_ops_chunked_match_direct(rng):
+    import jax.numpy as jnp
+
+    from one_class_ffm_tpu.ops.sparse_ops import pos_dot, pos_scatter
+
+    m, n, k, nnz = 23, 17, 5, 101
+    A = jnp.asarray(rng.normal(size=(m, k)))
+    B = jnp.asarray(rng.normal(size=(n, k)))
+    u = jnp.asarray(rng.integers(0, m, size=nnz), jnp.int32)
+    v = jnp.asarray(rng.integers(0, n, size=nnz), jnp.int32)
+    w = jnp.asarray(rng.random(nnz))
+
+    # atol for near-cancellation sums: XLA may reassociate across branches
+    ref_dot = pos_dot(A, u, B, v, max_chunk=nnz + 1)
+    got_dot = pos_dot(A, u, B, v, max_chunk=16)  # forces the chunked branch
+    np.testing.assert_allclose(
+        np.asarray(got_dot), np.asarray(ref_dot), rtol=1e-12, atol=1e-12
+    )
+
+    ref_sc = pos_scatter(w, B, v, u, m, max_chunk=nnz + 1)
+    got_sc = pos_scatter(w, B, v, u, m, max_chunk=16)
+    np.testing.assert_allclose(
+        np.asarray(got_sc), np.asarray(ref_sc), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_solver_matches_oracle_with_tiny_chunks(rng, monkeypatch):
+    """Full epoch under forced chunking must still match the oracle."""
+    import one_class_ffm_tpu.ops.sparse_ops as so
+    from conftest import make_problem, oracle_params_to_jax, to_device_problem
+    from one_class_ffm_tpu.solver import oracle
+    from one_class_ffm_tpu.solver.jax_solver import FFMSolver
+
+    monkeypatch.setattr(so, "_NNZ_CHUNK", 7)
+    prob, params = make_problem(rng)
+    meta, data = to_device_problem(prob)
+    solver = FFMSolver(meta, data)
+    state = solver.refresh_caches({"params": oracle_params_to_jax(params)})
+    ref = oracle.oracle_epoch(prob, params)
+    got = solver.epoch(state)
+    for f12 in ref["W"]:
+        np.testing.assert_allclose(
+            np.asarray(got["params"][f12]["W"]), ref["W"][f12],
+            rtol=1e-6, atol=1e-9,
+        )
