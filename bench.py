@@ -71,6 +71,10 @@ def main() -> int:
     for _ in range(epochs):
         state = solver.epoch(state)
     jax.block_until_ready(state)
+    # paranoid sync: a host-side scalar fetch cannot return before the
+    # device work is done (block_until_ready alone proved unreliable through
+    # this sandbox's dispatch relay)
+    float(state["yt"][0])
     dt = time.perf_counter() - t0
 
     # guard: the timed work must be real optimization, not a degenerate

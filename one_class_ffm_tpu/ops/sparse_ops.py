@@ -110,8 +110,13 @@ def _pallas_enabled() -> bool:
 def _pallas_ok(idx: Array, W: Array) -> bool:
     m, p = idx.shape
     d, k = W.shape
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:
+        on_tpu = False
     return (
-        m % _BM == 0
+        on_tpu  # Mosaic kernels don't lower on the CPU backend
+        and m % _BM == 0
         and d <= _MAX_D_PALLAS
         and d * k * 4 <= _VMEM_BUDGET
         and W.dtype in (jnp.float32, jnp.bfloat16)
@@ -183,6 +188,48 @@ def pos_scatter(w: Array, B: Array, take_ids: Array, seg_ids: Array,
         return acc + jax.ops.segment_sum(
             wp[i][:, None] * B[tp[i]], sp[i], num_segments=num_out
         )
+
+    init = jnp.zeros((num_out, B.shape[1]), B.dtype)
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+def pos_hv(phi: Array, own_ids: Array, B: Array, other_ids: Array,
+           w: Array, num_out: int, max_chunk: int = 0) -> Array:
+    """Fused positive-pass Hessian-vector term:
+
+        out[s] += w[t] * <phi[own[t]], B[other[t]]> * B[other[t]]  for own[t]==s
+
+    One B-row gather per chunk serves both the row-dot and the scatter — the
+    unfused pos_dot + pos_scatter pair gathers B twice.
+
+    MEASURED NEGATIVE RESULT: 10x slower end-to-end than the unfused pair on
+    v5e (98k -> 10k examples/s at the bench config).  Binding the gather to
+    two consumers forces XLA to materialize it, losing the gather-into-
+    segment-reduction fusion it applies to each single-consumer call.  Kept
+    for documentation and future Pallas work; the solver uses the unfused
+    form.
+    """
+    max_chunk = max_chunk or _NNZ_CHUNK
+    nnz = w.shape[0]
+
+    def one(own_c, oth_c, w_c, acc):
+        bc = B[oth_c]
+        pq = jnp.sum(phi[own_c] * bc, axis=1) * w_c
+        return acc + jax.ops.segment_sum(
+            pq[:, None] * bc, own_c, num_segments=num_out
+        )
+
+    if nnz <= max_chunk:
+        return one(own_ids, other_ids, w,
+                   jnp.zeros((num_out, B.shape[1]), B.dtype))
+    n_chunks = -(-nnz // max_chunk)
+    total = n_chunks * max_chunk
+    op = _pad_to(own_ids, total, num_out).reshape(n_chunks, max_chunk)
+    tp = _pad_to(other_ids, total, 0).reshape(n_chunks, max_chunk)
+    wp = _pad_to(w, total, 0.0).reshape(n_chunks, max_chunk)
+
+    def body(i, acc):
+        return one(op[i], tp[i], wp[i], acc)
 
     init = jnp.zeros((num_out, B.shape[1]), B.dtype)
     return jax.lax.fori_loop(0, n_chunks, body, init)

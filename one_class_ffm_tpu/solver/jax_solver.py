@@ -122,7 +122,13 @@ def make_device_data(
 # dispatches automatically on TPU); re-exported here for callers.
 # pos_dot / pos_scatter are the COO positive-pass reductions with bounded
 # (chunk, k) intermediates — a full (nnz, k) gather OOMs at scale.
-from ..ops.sparse_ops import pos_dot, pos_scatter, project, scatter  # noqa: E402
+from ..ops.sparse_ops import (  # noqa: E402
+    pos_dot,
+    pos_hv,
+    pos_scatter,
+    project,
+    scatter,
+)
 
 
 def seg_sum(data: Array, ids: Array, num: int) -> Array:
@@ -374,6 +380,9 @@ class FFMSolver:
         def hv(V: Array) -> Array:
             phi = project(i1, v1, V)  # (rows, k)
             dense = hp.omega * (phi @ QTQ)
+            # NOTE: measured 10x SLOWER when "fused" via ops.pos_hv — the
+            # manual gather materialization defeats XLA's own fusion of the
+            # gather into the segment reduction.  Keep the two-call form.
             pq = pos_dot(phi, own, Q1, other) * w_pos
             zp = pos_scatter((1.0 - hp.omega) * pq, Q1, other, own, num)
             return hp.lam * reg[:, None] * V + scatter(i1, v1, dense + zp, dim)
