@@ -26,6 +26,7 @@ def main() -> int:
     n_items = int(os.environ.get("BENCH_ITEMS", 20_000))
     k = int(os.environ.get("BENCH_K", 32))
     epochs = int(os.environ.get("BENCH_EPOCHS", 4))
+    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
 
     import jax
     import jax.numpy as jnp
@@ -52,7 +53,8 @@ def main() -> int:
     )
     layout = BlockLayout.make(du, dv, self_side=True)
     hp = HyperParams(k=k, lam=0.05, omega=0.1, r=-1.0)
-    meta, data = make_device_data(u_pad, v_pad, y_pad, layout, hp, dtype=jnp.float32)
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+    meta, data = make_device_data(u_pad, v_pad, y_pad, layout, hp, dtype=dtype)
     solver = FFMSolver(meta, data)
     state = solver.init(jax.random.key(0))
 
