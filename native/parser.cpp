@@ -166,3 +166,34 @@ int ocffm_fill(const char* path, int has_label, const int64_t* ds,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fast text-model writer (the reference's save_model format,
+// /root/reference/ffm.cpp:1163-1237): rows "W,f1,f2,row v1 .. vk" with %g
+// formatting.  Python's per-row f-string writer takes minutes for
+// multi-million-row tables; this streams one block in C++.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Appends one block table to the (already open-for-append) file.
+// Returns 0 on success, -1 on open failure.
+int ocffm_write_block(const char* path, const char* name, int f1, int f2,
+                      const double* table, int64_t rows, int64_t k) {
+    FILE* fp = fopen(path, "ab");
+    if (!fp) return -1;
+    static const size_t BUF = 1 << 20;
+    char* iobuf = (char*)malloc(BUF);
+    setvbuf(fp, iobuf, _IOFBF, BUF);
+    for (int64_t r = 0; r < rows; r++) {
+        fprintf(fp, "%s,%d,%d,%lld", name, f1, f2, (long long)r);
+        const double* row = table + r * k;
+        for (int64_t c = 0; c < k; c++) fprintf(fp, " %.6g", row[c]);
+        fputc('\n', fp);
+    }
+    fclose(fp);
+    free(iobuf);
+    return 0;
+}
+
+}  // extern "C"

@@ -121,3 +121,29 @@ def parse_text_native(
         int(counts.n),
         int(counts.f),
     )
+
+
+def write_block_native(path: str, name: str, f1: int, f2: int, table) -> bool:
+    """Append one model block via the C writer; returns False if unavailable."""
+    try:
+        lib = _load()
+    except OSError:
+        return False
+    if not hasattr(lib, "ocffm_write_block"):
+        return False
+    lib.ocffm_write_block.restype = ctypes.c_int
+    lib.ocffm_write_block.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_int64,
+    ]
+    arr = np.ascontiguousarray(table, dtype=np.float64)
+    rc = lib.ocffm_write_block(
+        path.encode(), name.encode(), f1, f2,
+        _as_ptr(arr, ctypes.c_double), arr.shape[0], arr.shape[1],
+    )
+    return rc == 0

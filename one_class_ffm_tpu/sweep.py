@@ -12,6 +12,11 @@ so the log tooling (logtools.py, or the reference's own scripts) works on the
 output unchanged.  Improvements over grid.sh: resumable (complete logs are
 skipped), machine-readable summary, no interactivity.
 
+Note on ``jobs``: each job is an independent process with its own device
+context.  CPU sweeps parallelize freely; on a single TPU chip use jobs=1
+(or add ``"extra_args": ["--platform", "cpu"]``) — concurrent processes
+contending for one chip serialize at best.
+
 Spec format (JSON):
 {
   "name": "kkbox",            # dataset tag for the log dir

@@ -452,9 +452,21 @@ def save_text_model(
             out.write(f"{d}\n")
         for d in layout.Dv:
             out.write(f"{d}\n")
-        for b in layout.all_blocks():
-            for name in ("W", "H"):
-                tbl = params[b.f12][name]
+
+    def native_write(name, b, tbl) -> bool:
+        try:
+            from .data.native_io import write_block_native
+
+            return write_block_native(path, name, b.f1, b.f2, tbl)
+        except Exception:
+            return False
+
+    for b in layout.all_blocks():
+        for name in ("W", "H"):
+            tbl = np.asarray(params[b.f12][name], dtype=np.float64)
+            if native_write(name, b, tbl):
+                continue
+            with open(path, "a") as out:
                 for row in range(tbl.shape[0]):
                     vals = " ".join(_fmt_g(x) for x in tbl[row])
                     out.write(f"{name},{b.f1},{b.f2},{row} {vals}\n")
