@@ -168,15 +168,22 @@ def pos_dot(A: Array, u_ids: Array, B: Array, v_ids: Array,
 
 
 def pos_scatter(w: Array, B: Array, take_ids: Array, seg_ids: Array,
-                num_out: int, max_chunk: int = 0) -> Array:
+                num_out: int, max_chunk: int = 0,
+                seg_sorted: bool = False) -> Array:
     """out[s] += w[t] * B[take_ids[t]] for seg_ids[t] == s: the positive-pass
     scatter (w carries the pad mask, so padded slots contribute zeros; pad
-    segment ids == num_out are dropped by segment_sum)."""
+    segment ids == num_out are dropped by segment_sum).
+
+    ``seg_sorted``: the COO stream is u-major sorted, so segment ids by u are
+    ascending (ghost/pad ids are the max id, preserving order) — the
+    ``indices_are_sorted`` hint measured ~15% faster on v5e.  Chunks of a
+    sorted stream stay sorted."""
     max_chunk = max_chunk or _NNZ_CHUNK
     nnz = w.shape[0]
     if nnz <= max_chunk:
         return jax.ops.segment_sum(
-            w[:, None] * B[take_ids], seg_ids, num_segments=num_out
+            w[:, None] * B[take_ids], seg_ids, num_segments=num_out,
+            indices_are_sorted=seg_sorted,
         )
     n_chunks = -(-nnz // max_chunk)
     total = n_chunks * max_chunk
@@ -186,7 +193,8 @@ def pos_scatter(w: Array, B: Array, take_ids: Array, seg_ids: Array,
 
     def body(i, acc):
         return acc + jax.ops.segment_sum(
-            wp[i][:, None] * B[tp[i]], sp[i], num_segments=num_out
+            wp[i][:, None] * B[tp[i]], sp[i], num_segments=num_out,
+            indices_are_sorted=seg_sorted,
         )
 
     init = jnp.zeros((num_out, B.shape[1]), B.dtype)

@@ -286,7 +286,9 @@ class FFMSolver:
             side = state["a"]
             s_cache = sa
             other_sum = jnp.sum(state["b"])
-            zpos = seg_sum(c, d["pos_u"], meta.m)
+            zpos = jax.ops.segment_sum(
+                c, d["pos_u"], num_segments=meta.m, indices_are_sorted=True
+            )
         else:  # vv
             n_other = meta.m_true
             side = state["b"]
@@ -319,7 +321,7 @@ class FFMSolver:
             dense = hp.omega * (
                 (state["a"] - hp.r)[:, None] * oQ[None, :] + bQ[None, :] + gram_T
             )
-            zpos = pos_scatter(c, Q1, d["pos_v"], d["pos_u"], meta.m)
+            zpos = pos_scatter(c, Q1, d["pos_v"], d["pos_u"], meta.m, seg_sorted=True)
         else:
             P1 = state["P"][f12]  # (m, k)
             oQ = jnp.sum(P1, axis=0)
@@ -384,7 +386,8 @@ class FFMSolver:
             # manual gather materialization defeats XLA's own fusion of the
             # gather into the segment reduction.  Keep the two-call form.
             pq = pos_dot(phi, own, Q1, other) * w_pos
-            zp = pos_scatter((1.0 - hp.omega) * pq, Q1, other, own, num)
+            zp = pos_scatter((1.0 - hp.omega) * pq, Q1, other, own, num,
+                             seg_sorted=first)
             return hp.lam * reg[:, None] * V + scatter(i1, v1, dense + zp, dim)
 
         return hv
