@@ -148,6 +148,14 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if not args.model and not args.ckpt:
         ap.error("need a text model or --ckpt")
+    import os
+
+    for path, what in [(args.model, "model"), (args.item_file, "item file"),
+                       (args.user_file, "user file")]:
+        if path and not os.path.exists(path):
+            print(f"ocffm-predict: error: {what} not found: {path}",
+                  file=sys.stderr)
+            return 1
     if args.platform != "auto":
         import jax
 

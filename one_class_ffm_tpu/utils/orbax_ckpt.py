@@ -46,6 +46,8 @@ def save(
 def load(ckpt_dir: str, shardings=None) -> Tuple[Dict[int, Any], int]:
     """Restore (params, epoch); pass ``shardings`` (same pytree structure of
     jax.sharding.Sharding) to restore directly onto a mesh."""
+    import jax
+    import numpy as np
     import orbax.checkpoint as ocp
 
     with open(os.path.join(ckpt_dir, "orbax_meta.json")) as fh:
@@ -54,24 +56,18 @@ def load(ckpt_dir: str, shardings=None) -> Tuple[Dict[int, Any], int]:
     with ocp.PyTreeCheckpointer() as ckptr:
         if shardings is not None:
             stree = {str(f12): blk for f12, blk in shardings.items()}
-            restore_args = None
-            try:
-                import jax
-
-                restore_args = ocp.checkpoint_utils.construct_restore_args(
-                    stree,
-                    sharding_tree=stree,
-                )
-            except Exception:
-                restore_args = None
-            if restore_args is not None:
-                tree = ckptr.restore(
-                    path, restore_args=restore_args
-                )
-            else:
-                tree = ckptr.restore(path)
+            restore_args = jax.tree.map(
+                lambda s: ocp.ArrayRestoreArgs(sharding=s), stree
+            )
+            tree = ckptr.restore(path, restore_args=restore_args)
         else:
-            tree = ckptr.restore(path)
+            # restore as host numpy: device/topology-independent (a
+            # checkpoint written on TPU must restore on CPU and vice versa)
+            meta_tree = ckptr.metadata(path).item_metadata
+            restore_args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree
+            )
+            tree = ckptr.restore(path, restore_args=restore_args)
     params = {int(k): v for k, v in tree.items()}
     return params, int(meta["epoch"])
 
