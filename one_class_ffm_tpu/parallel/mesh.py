@@ -67,8 +67,7 @@ def shard_data(data: Dict[str, Any], mesh: Mesh, axis: str = "data") -> Dict[str
     out = dict(data)
     for key in ("xu_idx", "xu_val", "xv_idx", "xv_val"):
         out[key] = tuple(_put(a, row) for a in data[key])
-    for key in ("pos_u", "pos_v", "pos_w", "pos_perm_v", "pos_u_v",
-                "pos_v_v", "pos_w_v", "cnt_u", "cnt_v"):
+    for key in ("pos_u", "pos_v", "pos_w", "cnt_u", "cnt_v"):
         out[key] = _put(data[key], row)
     for key in ("reg_u", "reg_v"):
         out[key] = tuple(_put(a, rep) for a in data[key])

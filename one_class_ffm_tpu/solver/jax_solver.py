@@ -93,11 +93,6 @@ def make_device_data(
             return tuple(jnp.asarray(fr, dtype) for fr in pf.freq)
         return tuple(jnp.ones(d, dtype) for d in pf.Ds)
 
-    # v-sorted copy of the COO stream (the functional analog of the
-    # reference's dual adjacency, transY ffm.cpp:259-294): item-side segment
-    # sums get ascending segment ids, unlocking the indices_are_sorted fast
-    # path.  Ghost pad ids are the max id, so sortedness survives padding.
-    perm_v = np.argsort(np.asarray(y.v), kind="stable").astype(np.int32)
     data = dict(
         xu_idx=tuple(jnp.asarray(a) for a in u.idx),
         xu_val=tuple(jnp.asarray(a, dtype) for a in u.val),
@@ -106,10 +101,6 @@ def make_device_data(
         pos_u=jnp.asarray(y.u),
         pos_v=jnp.asarray(y.v),
         pos_w=jnp.asarray(y.w, dtype),
-        pos_perm_v=jnp.asarray(perm_v),
-        pos_u_v=jnp.asarray(np.asarray(y.u)[perm_v]),
-        pos_v_v=jnp.asarray(np.asarray(y.v)[perm_v]),
-        pos_w_v=jnp.asarray(np.asarray(y.w)[perm_v], dtype),
         cnt_u=jnp.asarray(y.count_u, dtype),
         cnt_v=jnp.asarray(y.count_v, dtype),
         reg_u=None,
@@ -303,10 +294,7 @@ class FFMSolver:
             side = state["b"]
             s_cache = sb
             other_sum = jnp.sum(state["a"])
-            zpos = jax.ops.segment_sum(
-                c[d["pos_perm_v"]], d["pos_v_v"], num_segments=meta.n,
-                indices_are_sorted=True,
-            )
+            zpos = seg_sum(c, d["pos_v"], meta.n)
         z = hp.omega * (n_other * (side - hp.r) + other_sum + s_cache) + zpos
         return hp.lam * reg[:, None] * T + scatter(i1, v1, z[:, None] * Q1, T.shape[0])
 
@@ -345,10 +333,7 @@ class FFMSolver:
             dense = hp.omega * (
                 (state["b"] - hp.r)[:, None] * oQ[None, :] + bQ[None, :] + gram_T
             )
-            zpos = pos_scatter(
-                c[d["pos_perm_v"]], P1, d["pos_u_v"], d["pos_v_v"], meta.n,
-                seg_sorted=True,
-            )
+            zpos = pos_scatter(c, P1, d["pos_u"], d["pos_v"], meta.n)
         Z = dense + zpos
         return hp.lam * reg[:, None] * T + scatter(i1, v1, Z, T.shape[0])
 
@@ -382,21 +367,17 @@ class FFMSolver:
         meta, d = self.meta, self.data
         hp = meta.hp
         i1, v1, reg, rows = self._side_arrays(b, first)
-        # segment by the block's own side with ascending ids: u-major stream
-        # for the W side, the v-sorted copy for the H side (gather cost is
-        # index-insensitive on TPU; sorted segments are ~15% faster)
         if first:
             Q1 = state["Q"][b.f12]
             own, other = d["pos_u"], d["pos_v"]
-            w_pos = d["pos_w"]
             num = meta.m
         else:
             Q1 = state["P"][b.f12]
-            own, other = d["pos_v_v"], d["pos_u_v"]
-            w_pos = d["pos_w_v"]
+            own, other = d["pos_v"], d["pos_u"]
             num = meta.n
         QTQ = Q1.T @ Q1  # pad rows are zero; full Gram == true-row Gram
         dim = (state["params"][b.f12]["W" if first else "H"]).shape[0]
+        w_pos = d["pos_w"]
 
         def hv(V: Array) -> Array:
             phi = project(i1, v1, V)  # (rows, k)
@@ -406,7 +387,7 @@ class FFMSolver:
             # gather into the segment reduction.  Keep the two-call form.
             pq = pos_dot(phi, own, Q1, other) * w_pos
             zp = pos_scatter((1.0 - hp.omega) * pq, Q1, other, own, num,
-                             seg_sorted=True)
+                             seg_sorted=first)
             return hp.lam * reg[:, None] * V + scatter(i1, v1, dense + zp, dim)
 
         return hv
