@@ -1,0 +1,60 @@
+"""Multi-host (multi-process) array construction for the solver.
+
+In multi-process SPMD each process only addresses its own devices, so
+globally-sharded arrays must be assembled with
+``jax.make_array_from_process_local_data`` instead of ``device_put``.
+Every process calls ``make_global_data``/``make_global_state`` with the SAME
+full host arrays (cheap at the host layer — data loading is deterministic);
+the helper hands each process its addressable rows.
+
+Pairs with ``distributed.init_distributed`` and the same mesh/spec layout as
+``mesh.shard_data`` (rows + COO on ``data``, small tables replicated).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_global(arr, mesh: Mesh, spec: P):
+    """Build a global array from the full host value (every process passes
+    the same full array; the helper extracts this process's shard rows)."""
+    sh = NamedSharding(mesh, spec)
+    arr = np.asarray(arr)
+    return jax.make_array_from_process_local_data(sh, arr, arr.shape)
+
+
+def make_global_data(data_host: Dict[str, Any], mesh: Mesh, axis: str = "data"):
+    """The multi-host analog of mesh.shard_data (same placement rules)."""
+    row = P(axis)
+    rep = P()
+    out = dict(data_host)
+    for key in ("xu_idx", "xu_val", "xv_idx", "xv_val"):
+        out[key] = tuple(make_global(a, mesh, row) for a in data_host[key])
+    for key in ("pos_u", "pos_v", "pos_w", "cnt_u", "cnt_v"):
+        out[key] = make_global(data_host[key], mesh, row)
+    for key in ("reg_u", "reg_v"):
+        out[key] = tuple(make_global(a, mesh, rep) for a in data_host[key])
+    return out
+
+
+def make_global_state(state_host: Dict[str, Any], mesh: Mesh, axis: str = "data"):
+    """The multi-host analog of mesh.shard_state."""
+    row = P(axis)
+    rep = P()
+    out = dict(state_host)
+    out["params"] = {
+        f12: {k: make_global(v, mesh, rep) for k, v in blk.items()}
+        for f12, blk in state_host["params"].items()
+    }
+    for key in ("P", "Q"):
+        out[key] = {
+            f12: make_global(v, mesh, row) for f12, v in state_host[key].items()
+        }
+    for key in ("a", "b", "yt"):
+        out[key] = make_global(state_host[key], mesh, row)
+    return out

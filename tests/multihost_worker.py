@@ -1,0 +1,69 @@
+"""Worker for the 2-process distributed epoch test (spawned by
+test_multihost.py).  Builds the identical problem in every process, assembles
+globally-sharded arrays, runs one epoch, and process 0 checks the parameter
+fingerprint against the single-process value passed on argv."""
+
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_enable_x64", True)  # match the test's fp64 reference
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+expected = float(sys.argv[3])
+
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+
+import numpy as np  # noqa: E402
+
+from one_class_ffm_tpu.parallel import make_mesh  # noqa: E402
+from one_class_ffm_tpu.parallel.multihost import (  # noqa: E402
+    make_global_data,
+    make_global_state,
+)
+from one_class_ffm_tpu.data.synth import SynthSpec, build_padded  # noqa: E402
+from one_class_ffm_tpu.models.blocks import BlockLayout  # noqa: E402
+from one_class_ffm_tpu.solver.jax_solver import (  # noqa: E402
+    FFMSolver,
+    make_device_data,
+)
+from one_class_ffm_tpu.solver.params import HyperParams  # noqa: E402
+
+SPEC = SynthSpec(n_users=64, n_items=32, avg_pos=4.0, seed=7,
+                 dims_u=(64, 16), dims_v=(32, 12))
+
+
+def build():
+    (du, dv), u, v, y = build_padded(SPEC, dtype=np.float64, row_multiple=4)
+    layout = BlockLayout.make(du, dv, self_side=True)
+    hp = HyperParams(k=4, lam=0.05, omega=0.1)
+    import jax.numpy as jnp
+
+    return make_device_data(u, v, y, layout, hp, dtype=jnp.float64)
+
+
+meta, data = build()
+mesh = make_mesh()  # spans all 4 devices across both processes
+assert jax.device_count() == 4, jax.device_count()
+
+solver_local = FFMSolver(meta, data)
+state_host = jax.tree.map(np.asarray, solver_local.init(jax.random.key(0)))
+data_host = jax.tree.map(np.asarray, data)
+
+gdata = make_global_data(data_host, mesh)
+gsolver = FFMSolver(meta, gdata)
+gstate = make_global_state(state_host, mesh)
+
+out = gsolver.epoch(gstate)
+# fingerprint over replicated params (addressable everywhere)
+fp = 0.0
+for f12, blk in out["params"].items():
+    fp += float(np.asarray(blk["W"]).sum()) + float(np.asarray(blk["H"]).sum())
+print(f"[{pid}] fingerprint={fp!r} expected={expected!r}", flush=True)
+assert abs(fp - expected) <= 1e-6 * max(1.0, abs(expected)), (fp, expected)
+print(f"[{pid}] MULTIHOST_OK", flush=True)
