@@ -189,3 +189,94 @@ def build_padded(spec: SynthSpec, dtype=np.float32, row_multiple: int = 8):
     )
     y_pad = pad_labels(y, u_pad.m, v_pad.m, nnz_multiple=row_multiple * 8, dtype=dtype)
     return (list(du), list(dv)), u_pad, v_pad, y_pad
+
+
+def generate_vectorized(spec: SynthSpec, dtype=np.float32, row_multiple: int = 8):
+    """Vectorized generator straight to padded device arrays.
+
+    Same generative model as ``generate``/``build_padded`` (planted classes,
+    id field + class-correlated side features) but pure numpy array ops — no
+    Python per-row loops.  ~100x faster; required for the web-scale configs
+    (the loop version takes ~280 s at 2M users).  The random stream differs
+    from ``generate`` (different draw order), so datasets are statistically
+    equivalent, not identical.
+
+    Returns the same structure as ``build_padded``.
+    """
+    from .dataset import Interactions, PaddedFields, pad_labels
+
+    rng = np.random.default_rng(spec.seed)
+    du, dv = spec.resolve()
+    nu, nv = spec.n_users, spec.n_items
+    u_class = rng.integers(0, spec.n_classes, size=nu)
+    v_class = rng.integers(0, spec.n_classes, size=nv)
+
+    # positives: per-user draw counts, in-class with prob affinity
+    n_pos = np.maximum(1, rng.poisson(spec.avg_pos, size=nu))
+    total = int(n_pos.sum())
+    pos_u = np.repeat(np.arange(nu, dtype=np.int64), n_pos)
+    in_class = rng.random(total) < spec.affinity
+    # per-class item pools (sorted by class); empty classes fall back uniform
+    order = np.argsort(v_class, kind="stable")
+    class_start = np.searchsorted(v_class[order], np.arange(spec.n_classes))
+    class_end = np.searchsorted(v_class[order], np.arange(spec.n_classes), "right")
+    cls = u_class[pos_u]
+    size = (class_end - class_start)[cls]
+    offset = (rng.random(total) * np.maximum(size, 1)).astype(np.int64)
+    in_class &= size > 0
+    picked_in = order[np.minimum(class_start[cls] + offset, len(order) - 1)]
+    picked_uni = rng.integers(0, nv, size=total)
+    pos_v = np.where(in_class, picked_in, picked_uni)
+    # dedup (u, v): unique sorted keys decode straight to u-major order
+    key = np.unique(pos_u * np.int64(nv) + pos_v)
+    pos_u, pos_v = key // nv, key % nv
+    ptr = np.zeros(nu + 1, dtype=np.int64)
+    cnt = np.bincount(pos_u, minlength=nu)
+    ptr[1:] = np.cumsum(cnt)
+    y = Interactions(m=nu, n=nv, indptr=ptr, col=pos_v)
+
+    def side(n_rows, dims, classes, mult):
+        m_pad = -(-max(n_rows, 1) // mult) * mult
+        f = len(dims)
+        idxs, vals, freqs = [], [], []
+        # field 0: identity id feature
+        i0 = np.zeros((m_pad, 1), dtype=np.int32)
+        v0 = np.zeros((m_pad, 1), dtype=dtype)
+        i0[:n_rows, 0] = np.arange(n_rows) % dims[0]
+        v0[:n_rows, 0] = 1.0
+        idxs.append(i0)
+        vals.append(v0)
+        fr0 = np.bincount(i0[:n_rows, 0], minlength=dims[0]).astype(dtype)
+        freqs.append(fr0)
+        row_nnz = np.zeros(m_pad, dtype=np.int32)
+        row_nnz[:n_rows] = 1
+        for fi in range(1, f):
+            width = 1 + spec.max_extra_nnz
+            I = np.zeros((m_pad, width), dtype=np.int32)
+            V = np.zeros((m_pad, width), dtype=dtype)
+            base = (classes * (dims[fi] // spec.n_classes)) % max(dims[fi], 1)
+            I[:n_rows, 0] = base
+            V[:n_rows, 0] = 1.0
+            n_extra = rng.integers(0, spec.max_extra_nnz + 1, size=n_rows)
+            extra_ids = rng.integers(0, dims[fi], size=(n_rows, spec.max_extra_nnz))
+            slot = np.arange(spec.max_extra_nnz)[None, :]
+            mask = slot < n_extra[:, None]
+            I[:n_rows, 1:] = np.where(mask, extra_ids, 0)
+            V[:n_rows, 1:] = np.where(mask, 1.0, 0.0).astype(dtype)
+            idxs.append(I)
+            vals.append(V)
+            fr = np.bincount(
+                I[:n_rows].ravel(), weights=V[:n_rows].ravel(),
+                minlength=dims[fi],
+            ).astype(dtype)
+            freqs.append(fr)
+            row_nnz[:n_rows] += 1 + n_extra.astype(np.int32)
+        return PaddedFields(m=m_pad, m_true=n_rows, f=f, Ds=tuple(dims),
+                            idx=tuple(idxs), val=tuple(vals),
+                            freq=tuple(freqs), row_nnz=row_nnz)
+
+    u_pad = side(nu, list(du), u_class, row_multiple)
+    v_pad = side(nv, list(dv), v_class, row_multiple)
+    y_pad = pad_labels(y, u_pad.m, v_pad.m, nnz_multiple=row_multiple * 8,
+                       dtype=dtype)
+    return (list(du), list(dv)), u_pad, v_pad, y_pad

@@ -121,3 +121,39 @@ def test_pad_labels(tmp_path):
     np.testing.assert_array_equal(pl.count_u[:3], [2, 1, 1])
     np.testing.assert_array_equal(pl.count_v, [2, 1, 1])
     assert (pl.u[4:] == 3).all() and (pl.v[4:] == 3).all()
+
+
+def test_vectorized_generator_structure():
+    """generate_vectorized produces a valid, class-structured dataset fast."""
+    import time
+
+    from one_class_ffm_tpu.data.synth import SynthSpec, build_padded, generate_vectorized
+
+    spec = SynthSpec(n_users=5000, n_items=400, avg_pos=5.0, seed=3)
+    t0 = time.time()
+    (du, dv), u, v, y = generate_vectorized(spec, row_multiple=8)
+    fast_t = time.time() - t0
+    assert u.m % 8 == 0 and u.m_true == 5000
+    assert v.m_true == 400
+    # every user has >= 1 positive and ids are in range
+    import numpy as np
+
+    assert y.nnz_true > 5000 * 2
+    assert y.u[: y.nnz_true].max() < 5000
+    assert y.v[: y.nnz_true].max() < 400
+    # (u, v) pairs are unique
+    key = y.u[: y.nnz_true].astype(np.int64) * 400 + y.v[: y.nnz_true]
+    assert len(np.unique(key)) == y.nnz_true
+    # planted structure: in-class positives dominate
+    rng = np.random.default_rng(spec.seed)
+    u_class = rng.integers(0, spec.n_classes, size=5000)
+    v_class = rng.integers(0, spec.n_classes, size=400)
+    frac = (u_class[y.u[: y.nnz_true]] == v_class[y.v[: y.nnz_true]]).mean()
+    assert frac > 0.5
+    # id field is identity; val padding zeros beyond true rows
+    assert (u.val[0][5000:] == 0).all()
+    # much faster than the loop generator at this size
+    t0 = time.time()
+    build_padded(spec, row_multiple=8)
+    loop_t = time.time() - t0
+    assert fast_t < loop_t
