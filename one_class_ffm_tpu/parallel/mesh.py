@@ -97,15 +97,19 @@ def shard_params_model(
     msize = mesh.shape[axis]
     out = {}
     for f12, blk in params.items():
-        out[f12] = {
-            # device_put requires divisibility (pad table dims at creation
-            # for very large fields); non-divisible tables stay replicated
-            name: jax.device_put(
-                t,
-                big if t.shape[0] >= min_rows and t.shape[0] % msize == 0 else rep,
-            )
-            for name, t in blk.items()
-        }
+        out[f12] = {}
+        for name, t in blk.items():
+            if t.shape[0] < min_rows:
+                out[f12][name] = jax.device_put(t, rep)
+                continue
+            if t.shape[0] % msize != 0:
+                raise ValueError(
+                    f"table {name}[{f12}] has {t.shape[0]} rows, not divisible "
+                    f"by model-axis size {msize}; create the solver with "
+                    f"d_multiple={msize} (make_device_data) so table dims are "
+                    f"padded for even sharding"
+                )
+            out[f12][name] = jax.device_put(t, big)
     return out
 
 

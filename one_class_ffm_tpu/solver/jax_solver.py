@@ -57,6 +57,16 @@ class ProblemMeta:
     n_true: int
     nnz: int  # padded positive count
     dtype: Any = jnp.float32
+    d_multiple: int = 1  # block-table row dims rounded up to this multiple
+
+    def pad_d(self, d: int) -> int:
+        """Padded table row dim.  Pad rows are never indexed by any feature,
+        are zero at init and receive zero gradient/Hv contributions, so they
+        stay exactly zero — the same invariant as row padding.  This is what
+        makes model-axis (tensor-parallel) row-sharding of tables possible
+        for arbitrary field dims (mesh-size divisibility by construction)."""
+        mult = max(1, self.d_multiple)
+        return -(-d // mult) * mult
 
 
 def make_device_data(
@@ -66,6 +76,7 @@ def make_device_data(
     layout: BlockLayout,
     hp: HyperParams,
     dtype=jnp.float32,
+    d_multiple: int = 1,
 ) -> Tuple[ProblemMeta, Dict[str, Any]]:
     """Assemble the device array dict + static meta from host padded views.
 
@@ -76,6 +87,9 @@ def make_device_data(
       pos_w:         (nnz,) 1.0 real / 0.0 pad mask
       cnt_u/cnt_v:   per-row positive counts |Omega+_i|
       reg_u/reg_v:   per field (D_f,) lambda row weights (freq or ones)
+
+    ``d_multiple`` > 1 rounds every block table's row dim (and its reg
+    vector) up to that multiple so tables divide a ``model`` mesh axis.
     """
     meta = ProblemMeta(
         layout=layout,
@@ -86,12 +100,20 @@ def make_device_data(
         n_true=v.m_true,
         nnz=y.nnz,
         dtype=dtype,
+        d_multiple=d_multiple,
     )
 
     def regs(pf: PaddedFields):
+        # pad value 1.0: pad table rows are exactly zero so any finite reg
+        # weight contributes zero; 1.0 avoids 0-weight special cases
+        def padded(arr):
+            a = jnp.asarray(arr, dtype)
+            dp = meta.pad_d(a.shape[0])
+            return jnp.pad(a, (0, dp - a.shape[0]), constant_values=1.0)
+
         if hp.freq:
-            return tuple(jnp.asarray(fr, dtype) for fr in pf.freq)
-        return tuple(jnp.ones(d, dtype) for d in pf.Ds)
+            return tuple(padded(fr) for fr in pf.freq)
+        return tuple(jnp.ones(meta.pad_d(d), dtype) for d in pf.Ds)
 
     data = dict(
         xu_idx=tuple(jnp.asarray(a) for a in u.idx),
@@ -184,16 +206,24 @@ class FFMSolver:
             meta = self.meta
             k = meta.hp.k
             scale = 0.1 / np.sqrt(k)
+
+            def table(key, d_true, d_pad):
+                t = jax.random.uniform(
+                    key, (d_pad, k), meta.dtype, minval=-scale, maxval=scale
+                )
+                if d_pad == d_true:
+                    return t
+                # zero the pad rows: never indexed, zero gradient, CG keeps
+                # them zero — the table-padding invariant (see pad_d)
+                rows = jnp.arange(d_pad)[:, None] < d_true
+                return jnp.where(rows, t, 0.0)
+
             params: Dict[int, Dict[str, Array]] = {}
             for b in self.blocks:
                 key, k1, k2 = jax.random.split(key, 3)
                 params[b.f12] = dict(
-                    W=jax.random.uniform(
-                        k1, (b.d1, k), meta.dtype, minval=-scale, maxval=scale
-                    ),
-                    H=jax.random.uniform(
-                        k2, (b.d2, k), meta.dtype, minval=-scale, maxval=scale
-                    ),
+                    W=table(k1, b.d1, meta.pad_d(b.d1)),
+                    H=table(k2, b.d2, meta.pad_d(b.d2)),
                 )
             return params
 

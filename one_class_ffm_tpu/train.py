@@ -242,8 +242,8 @@ class Trainer:
         params = {}
         for b in lay.all_blocks():
             blk = params_np[b.f12]
-            W = np.zeros((b.d1, k))
-            H = np.zeros((b.d2, k))
+            W = np.zeros((self.meta.pad_d(b.d1), k))
+            H = np.zeros((self.meta.pad_d(b.d2), k))
             # model dims may be smaller than this dataset's (new features
             # since the model was trained): those rows start at zero
             w_src, h_src = blk["W"], blk["H"]
@@ -322,8 +322,15 @@ class Trainer:
     # -- io -------------------------------------------------------------------
 
     def params_numpy(self) -> Dict[int, Dict[str, np.ndarray]]:
+        """Host copies of the block tables, sliced to TRUE field dims (the
+        solver may carry pad rows for model-axis sharding; exports and the
+        reference text format must not contain them)."""
+        dims = {b.f12: (b.d1, b.d2) for b in self.data.layout.all_blocks()}
         return {
-            f12: {k: np.asarray(v) for k, v in blk.items()}
+            f12: {
+                "W": np.asarray(blk["W"])[: dims[f12][0]],
+                "H": np.asarray(blk["H"])[: dims[f12][1]],
+            }
             for f12, blk in self.state["params"].items()
         }
 
@@ -362,11 +369,22 @@ class Trainer:
         params_np, epoch = load_checkpoint(self.cfg.ckpt_dir)
         dtype = _np_dtype(self.cfg.dtype)
         params = {
-            f12: {k: jnp.asarray(v, dtype) for k, v in blk.items()}
+            f12: {
+                k: jnp.asarray(self._pad_table(v), dtype)
+                for k, v in blk.items()
+            }
             for f12, blk in params_np.items()
         }
         self.state = self.solver.refresh_caches({"params": params})
         self.epoch_idx = epoch
+
+    def _pad_table(self, t: np.ndarray) -> np.ndarray:
+        """Round a checkpointed table's row dim up to the solver's d_multiple
+        (checkpoints store true dims; pad rows are zero by invariant)."""
+        dp = self.meta.pad_d(t.shape[0])
+        if dp == t.shape[0]:
+            return t
+        return np.pad(t, [(0, dp - t.shape[0]), (0, 0)])
 
     # -- output formatting (log-tooling compatible) ---------------------------
 

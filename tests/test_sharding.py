@@ -113,6 +113,95 @@ def test_2d_mesh_model_sharded_tables(rng, eight_devices):
         )
 
 
+def _pad_params(params, meta):
+    """Oracle params -> jax params with table rows padded to meta.d_multiple
+    (pad rows zero, the invariant the solver maintains)."""
+    import jax.numpy as jnp
+
+    out = {}
+    for f12 in params["W"]:
+        out[f12] = {}
+        for name in ("W", "H"):
+            t = np.asarray(params[name][f12])
+            dp = meta.pad_d(t.shape[0])
+            out[f12][name] = jnp.asarray(
+                np.pad(t, [(0, dp - t.shape[0]), (0, 0)])
+            )
+    return out
+
+
+def test_padded_tables_match_unpadded(rng):
+    """d_multiple table padding is a pure layout transform: true rows evolve
+    identically and pad rows stay exactly zero through epochs."""
+    prob, params = make_problem(rng, m=12, n=9, Du=(13, 5), Dv=(7, 4))
+    meta_u, data_u = to_device_problem(prob)
+    meta_p, data_p = to_device_problem(prob, d_multiple=8)
+    s_u = FFMSolver(meta_u, data_u)
+    s_p = FFMSolver(meta_p, data_p)
+    st_u = s_u.refresh_caches({"params": oracle_params_to_jax(params)})
+    st_p = s_p.refresh_caches({"params": _pad_params(params, meta_p)})
+    for _ in range(2):
+        st_u = s_u.epoch(st_u)
+        st_p = s_p.epoch(st_p)
+    for b in prob.layout.all_blocks():
+        for name, d_true in (("W", b.d1), ("H", b.d2)):
+            got = np.asarray(st_p["params"][b.f12][name])
+            ref = np.asarray(st_u["params"][b.f12][name])
+            np.testing.assert_allclose(got[:d_true], ref, rtol=1e-9, atol=1e-12)
+            assert np.all(got[d_true:] == 0.0), f"pad rows moved in {name}[{b.f12}]"
+    np.testing.assert_allclose(
+        float(s_p.objective(st_p)), float(s_u.objective(st_u)), rtol=1e-9
+    )
+
+
+def test_prime_table_shards_on_model_axis(rng, eight_devices):
+    """A prime-dim table (never divisible) row-shards on an 8-way model axis
+    once d_multiple pads it — and the epoch still matches single-device."""
+    from one_class_ffm_tpu.parallel.mesh import make_mesh2, shard_params_model
+
+    prob, params = make_problem(rng, m=17, n=11, Du=(13, 5), Dv=(11, 4))
+    meta, data = to_device_problem(prob, d_multiple=8)
+    solver = FFMSolver(meta, data)
+    ref = solver.epoch(solver.refresh_caches({"params": _pad_params(params, meta)}))
+
+    mesh = jax.sharding.Mesh(
+        np.asarray(jax.devices()[:8]).reshape(1, 8), ("data", "model")
+    )
+    sdata = shard_data(data, mesh)
+    ssolver = FFMSolver(meta, sdata)
+    sstate = ssolver.refresh_caches({"params": _pad_params(params, meta)})
+    sstate = shard_state(sstate, mesh, model_min_rows=8)
+    # the D=13 (padded 16) tables must actually shard, not replicate
+    sharded_tables = [
+        t
+        for blk in sstate["params"].values()
+        for t in blk.values()
+        if not t.sharding.is_fully_replicated
+    ]
+    assert sharded_tables, "no table sharded on the model axis"
+    got = ssolver.epoch(sstate)
+    for b in prob.layout.all_blocks():
+        for name in ("W", "H"):
+            np.testing.assert_allclose(
+                np.asarray(got["params"][b.f12][name]),
+                np.asarray(ref["params"][b.f12][name]),
+                rtol=1e-9, atol=1e-11,
+            )
+
+
+def test_nondivisible_large_table_raises(rng, eight_devices):
+    """The silent replicate-on-nondivisible fallback is gone: large tables
+    that don't divide the model axis are a hard error pointing at d_multiple."""
+    import jax.numpy as jnp
+
+    from one_class_ffm_tpu.parallel.mesh import make_mesh2, shard_params_model
+
+    mesh = make_mesh2(2, 4)
+    params = {0: {"W": jnp.zeros((13, 3)), "H": jnp.zeros((16, 3))}}
+    with pytest.raises(ValueError, match="d_multiple"):
+        shard_params_model(params, mesh, min_rows=8)
+
+
 def test_sharded_evaluator_matches(rng, eight_devices):
     """Evaluator with test users sharded over the mesh == unsharded."""
     import jax.numpy as jnp
