@@ -69,6 +69,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init-model", default=None,
                    help="warm-start from a saved text model (ours or the "
                         "reference's)")
+    p.add_argument("--mesh", dest="mesh_shape", default=None,
+                   help="device mesh: 'auto' (all devices, data-parallel), "
+                        "'N' (N-device data mesh), or 'NxM' (N-way data x "
+                        "M-way model axes; large tables row-shard on model)")
+    p.add_argument("--model-min-rows", dest="model_min_rows", type=int,
+                   default=4096,
+                   help="row-shard tables with >= this many rows on the "
+                        "model axis of an NxM mesh (default 4096)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() from env "
+                        "(JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                        "JAX_PROCESS_ID) before building the mesh")
     p.add_argument("--verbose", action="store_true",
                    help="print dataset/model summary before training")
     p.add_argument("--config", default=None,
@@ -101,6 +113,9 @@ def config_from_args(args) -> TrainConfig:
         timing=args.timing,
         ckpt_format=args.ckpt_format,
         init_model=args.init_model,
+        mesh_shape=args.mesh_shape,
+        model_min_rows=args.model_min_rows,
+        distributed=args.distributed,
     )
 
 

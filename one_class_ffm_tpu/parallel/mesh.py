@@ -50,6 +50,28 @@ def make_mesh2(
     return Mesh(np.asarray(devs).reshape(n_data, n_model), axes)
 
 
+def resolve_mesh(spec: Optional[str]) -> Optional[Mesh]:
+    """Parse a CLI mesh spec into a Mesh (the product-surface analog of the
+    reference's thread knob, train.cpp:174 omp_set_num_threads):
+
+      None / ""  -> no mesh (single-device execution)
+      "auto"     -> 1-D data mesh over every visible device
+      "N"        -> 1-D data mesh over the first N devices
+      "NxM"      -> 2-D mesh: N-way data axis x M-way model axis
+    """
+    if not spec:
+        return None
+    spec = spec.strip().lower()
+    if spec == "auto":
+        return make_mesh()
+    if "x" in spec:
+        nd, nm = (int(t) for t in spec.split("x", 1))
+        if nm == 1:
+            return make_mesh(nd)
+        return make_mesh2(nd, nm)
+    return make_mesh(int(spec))
+
+
 def _put(tree, sharding):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 

@@ -66,6 +66,11 @@ class TrainConfig:
     timing: bool = False  # print per-phase timing at the end
     ckpt_format: str = "npz"  # "npz" (single-host) | "orbax" (sharded-native)
     init_model: Optional[str] = None  # warm-start from a text model file
+    # --- mesh / distributed execution (reference analog: train.cpp:174
+    # omp_set_num_threads — the parallelism knob wired into the binary) ---
+    mesh_shape: Optional[str] = None  # None | "auto" | "N" | "NxM" (dataxmodel)
+    model_min_rows: int = 4096  # row-shard tables >= this on the model axis
+    distributed: bool = False  # jax.distributed.initialize() before meshing
 
     def hyper(self) -> HyperParams:
         return HyperParams(
@@ -160,6 +165,12 @@ def load_problem(cfg: TrainConfig) -> LoadedData:
     )
 
 
+def _lcm(a: int, b: int) -> int:
+    import math
+
+    return a * b // math.gcd(a, b)
+
+
 def _rebuild_indptr(rows: np.ndarray, m: int) -> np.ndarray:
     ptr = np.zeros(m + 1, dtype=np.int64)
     np.add.at(ptr, rows + 1, 1)
@@ -175,13 +186,37 @@ class Trainer:
         from .evalx.jax_eval import Evaluator, make_eval_data
         from .solver.jax_solver import FFMSolver, make_device_data
 
+        # mesh resolution BEFORE data layout: the data layer's padding
+        # multiples must divide the data axis, and table dims the model axis
+        if cfg.distributed:
+            from .parallel.distributed import init_distributed
+
+            init_distributed()
+        from .parallel.mesh import resolve_mesh
+
+        self.mesh = resolve_mesh(cfg.mesh_shape)
+        n_data = 1
+        n_model = 1
+        if self.mesh is not None:
+            n_data = int(self.mesh.shape.get("data", 1))
+            n_model = int(self.mesh.shape.get("model", 1))
+            cfg = dataclasses.replace(
+                cfg,
+                row_multiple=_lcm(max(1, cfg.row_multiple), n_data),
+                eval_chunk=_lcm(max(1, cfg.eval_chunk), n_data),
+            )
         self.cfg = cfg
         self.data = data if data is not None else load_problem(cfg)
         d = self.data
         dtype = _np_dtype(cfg.dtype)
         meta, dev = make_device_data(
-            d.u_pad, d.v_pad, d.y_pad, d.layout, cfg.hyper(), dtype=dtype
+            d.u_pad, d.v_pad, d.y_pad, d.layout, cfg.hyper(), dtype=dtype,
+            d_multiple=n_model,
         )
+        if self.mesh is not None:
+            from .parallel.mesh import shard_data
+
+            dev = shard_data(dev, self.mesh)
         self.meta = meta
         self.solver = FFMSolver(meta, dev)
         self.evaluator = None
@@ -197,12 +232,28 @@ class Trainer:
                 top_ks=TOP_KS,
             )
             self.evaluator = Evaluator(emeta, edata, chunk=cfg.eval_chunk)
+            if self.mesh is not None:
+                self.evaluator = self.evaluator.shard(self.mesh)
         self.state = None
         self.epoch_idx = 0
         self._jax = jax
         from .utils import PhaseTimer
 
         self.timer = PhaseTimer()
+
+    def _place_state(self, state):
+        """Shard freshly built solver state over the trainer's mesh (no-op
+        single-device)."""
+        if self.mesh is None:
+            return state
+        from .parallel.mesh import shard_state
+
+        n_model = int(self.mesh.shape.get("model", 1))
+        return shard_state(
+            state,
+            self.mesh,
+            model_min_rows=self.cfg.model_min_rows if n_model > 1 else None,
+        )
 
     # -- lifecycle ------------------------------------------------------------
 
@@ -222,6 +273,7 @@ class Trainer:
         else:
             self.state = self.solver.init(jax.random.key(self.cfg.seed))
             self.epoch_idx = 0
+        self.state = self._place_state(self.state)
         return self.state
 
     def warm_start(self, model_path: str):

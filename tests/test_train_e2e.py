@@ -209,6 +209,72 @@ def test_cli_config_file(dataset, tmp_path, capsys):
     assert main([item, train, "--config", str(bad)]) == 1
 
 
+def test_trainer_mesh_matches_single_device(dataset, tmp_path):
+    """The product surface runs sharded: a Trainer on the 8-device data mesh
+    produces identical metrics and parameters to the single-device Trainer
+    (GSPMD sharding is pure placement).  Reference analog: the thread knob
+    wired into the binary, train.cpp:174."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    tr1 = Trainer(make_cfg(dataset, tmp_path, nr_pass=4, eval_every=4))
+    tr1.run(log=lambda *_: None)
+    m1 = tr1.validate()
+
+    tr8 = Trainer(make_cfg(dataset, tmp_path, nr_pass=4, eval_every=4,
+                           mesh_shape="8"))
+    assert tr8.mesh is not None and tr8.mesh.devices.size == 8
+    tr8.run(log=lambda *_: None)
+    # training state actually lives distributed across the mesh
+    assert not tr8.state["a"].sharding.is_fully_replicated
+    m8 = tr8.validate()
+    for key, val in m1.items():
+        np.testing.assert_allclose(m8[key], val, rtol=1e-9, err_msg=key)
+    p1, p8 = tr1.params_numpy(), tr8.params_numpy()
+    for f12 in p1:
+        np.testing.assert_allclose(p8[f12]["W"], p1[f12]["W"],
+                                   rtol=1e-9, atol=1e-11)
+
+
+def test_trainer_2d_mesh_model_sharding(dataset, tmp_path):
+    """NxM mesh through the Trainer: tables above model_min_rows row-shard on
+    the model axis (d_multiple padding makes any dim divisible), and results
+    match a model-axis-only run with the same padding."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    kw = dict(nr_pass=3, eval_every=3, model_min_rows=8)
+    tr_ref = Trainer(make_cfg(dataset, tmp_path, mesh_shape="1x2", **kw))
+    tr_ref.run(log=lambda *_: None)
+    tr = Trainer(make_cfg(dataset, tmp_path, mesh_shape="4x2", **kw))
+    tr.run(log=lambda *_: None)
+    sharded = [
+        t for blk in tr.state["params"].values() for t in blk.values()
+        if not t.sharding.is_fully_replicated
+    ]
+    assert sharded, "no table sharded on the model axis"
+    m_ref, m = tr_ref.validate(), tr.validate()
+    for key, val in m_ref.items():
+        np.testing.assert_allclose(m[key], val, rtol=1e-9, err_msg=key)
+    p_ref, p = tr_ref.params_numpy(), tr.params_numpy()
+    for f12 in p_ref:
+        np.testing.assert_allclose(p[f12]["W"], p_ref[f12]["W"],
+                                   rtol=1e-9, atol=1e-11)
+
+
+def test_cli_mesh_flag(dataset, tmp_path, capsys):
+    from one_class_ffm_tpu.cli import main
+
+    item, train, va = dataset
+    rc = main([item, train, "-p", va, "-k", "3", "-t", "2",
+               "--eval-every", "2", "--dtype", "float64", "--mesh", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "iter" in out and "ploss" in out
+
+
 def test_verbose_describe(dataset, tmp_path):
     cfg = make_cfg(dataset, tmp_path, nr_pass=1)
     tr = Trainer(cfg)
