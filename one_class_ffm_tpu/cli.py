@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default=4096,
                    help="row-shard tables with >= this many rows on the "
                         "model axis of an NxM mesh (default 4096)")
+    p.add_argument("--eval-shard", dest="eval_shard", default="auto",
+                   choices=["auto", "users", "items"],
+                   help="eval sharding axis on a mesh: users (row-DP) or "
+                        "items (catalog-sharded top-K merge; scales to "
+                        "catalogs the dense path cannot hold). auto picks "
+                        "items for large catalogs")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() from env "
                         "(JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
@@ -116,6 +122,7 @@ def config_from_args(args) -> TrainConfig:
         mesh_shape=args.mesh_shape,
         model_min_rows=args.model_min_rows,
         distributed=args.distributed,
+        eval_shard=args.eval_shard,
     )
 
 

@@ -117,13 +117,19 @@ class Evaluator:
     X_v, validate ffm.cpp:932-946).
     """
 
-    def __init__(self, meta: EvalMeta, data: Dict[str, Any], chunk: int = 512):
+    def __init__(self, meta: EvalMeta, data: Dict[str, Any], chunk: int = 512,
+                 item_mesh=None, item_axis: str = "data"):
         self.meta = meta
         self.data = data
         self.chunk = int(min(chunk, meta.mt))
         # pad test rows to a multiple of the chunk for a single kernel shape
         self._n_chunks = -(-meta.mt // self.chunk)
-        self._chunk_fn = jax.jit(self._eval_chunk)
+        self._item_mesh = item_mesh
+        self._item_axis = item_axis
+        if item_mesh is not None:
+            self._chunk_fn = self._build_item_sharded_chunk()
+        else:
+            self._chunk_fn = jax.jit(self._eval_chunk)
 
     def shard(self, mesh, axis: str = "data") -> "Evaluator":
         """Data-parallel evaluation: test-user rows sharded over the mesh.
@@ -143,6 +149,158 @@ class Evaluator:
             d[key] = jax.device_put(d[key], row)
         d["popular"] = jax.device_put(d["popular"], rep)
         return Evaluator(self.meta, d, chunk=self.chunk)
+
+    def shard_items(self, mesh, axis: str = "data") -> "Evaluator":
+        """Catalog-axis-sharded evaluation — the sequence-parallel analog
+        (SURVEY.md §5 long-context): every device scores its ITEM shard for
+        the same user chunk, metric sums are psum'd, and the global top-K
+        merges per-shard candidates (payload K*n_dev per user instead of n).
+        This is what scales eval past the dense (chunk, n) cliff at n ~ 10M
+        (reference pred_z scales per-user, ffm.cpp:915-923; the dense MXU
+        path cannot hold (chunk, n) at web-scale catalogs)."""
+        size = int(mesh.shape[axis])
+        if self.meta.n % size != 0:
+            raise ValueError(
+                f"item rows {self.meta.n} not divisible by mesh axis "
+                f"'{axis}' size {size}; pad item rows to a device multiple"
+            )
+        return Evaluator(self.meta, self.data, chunk=self.chunk,
+                         item_mesh=mesh, item_axis=axis)
+
+    # -- item-sharded chunk (catalog scale-out) ------------------------------
+
+    def _build_item_sharded_chunk(self):
+        """shard_map'd twin of ``_eval_chunk``: items sharded over the mesh
+        axis, identical metric semantics (ladder, IDCG, cold fallback, ploss
+        guard, first-max tie-breaking) — pinned by tests against the dense
+        path.  Contiguous item partitioning means candidate order after
+        all_gather is global-id order, so top-K tie-breaking matches the
+        reference's destructive argmax (ffm.cpp:1033-1037)."""
+        from jax.sharding import PartitionSpec as P
+
+        meta = self.meta
+        mesh = self._item_mesh
+        axis = self._item_axis
+        nd = int(mesh.shape[axis])
+        nk = len(meta.top_ks)
+        kmax = min(max(meta.top_ks), meta.catalog)
+        n_local = meta.n // nd
+        f12s = sorted(b.f12 for b in meta.layout.cross_blocks())
+
+        def impl(Pva_c, at_c, labels_c, n_labels_c, cold_c, valid_c,
+                 Q_sh, bt_sh, pop_sh):
+            shard = jax.lax.axis_index(axis)
+            lo = shard * n_local
+            c = at_c.shape[0]
+            z = jnp.broadcast_to(bt_sh[None, :], (c, n_local)).astype(meta.dtype)
+            for f12 in f12s:
+                z = z + Pva_c[f12] @ Q_sh[f12].T
+            z = jnp.where(cold_c[:, None], pop_sh[None, :], z)
+
+            # ploss: each label is owned by exactly one shard; psum the sums
+            lab = labels_c
+            labc = jnp.clip(lab, 0, meta.n - 1)
+            loc = labc - lo
+            owned = (loc >= 0) & (loc < n_local)
+            z_at = jnp.take_along_axis(z, jnp.clip(loc, 0, n_local - 1), axis=1)
+            lab_ok = (lab >= 0) & jnp.where(
+                cold_c[:, None], lab < meta.pop_len, lab < meta.n_true
+            )
+            diff = 1.0 - z_at - at_c[:, None]
+            ploss = jax.lax.psum(
+                jnp.sum(jnp.where(lab_ok & owned, diff * diff, 0.0)
+                        * valid_c[:, None]),
+                axis,
+            )
+
+            # global top-K: local top-K over the catalog slice, all_gather
+            # merge; candidates concatenate in shard (= global id) order
+            gid = lo + jnp.arange(n_local, dtype=jnp.int32)
+            neg = jnp.asarray(jnp.finfo(meta.dtype).min, meta.dtype)
+            zc = jnp.where((gid < meta.catalog)[None, :], z, neg)
+            kk = min(kmax, n_local)
+            lv, li = jax.lax.top_k(zc, kk)
+            lgi = gid[li]
+            av = jax.lax.all_gather(lv, axis, axis=1, tiled=True)
+            ai = jax.lax.all_gather(lgi, axis, axis=1, tiled=True)
+            _tv, pos = jax.lax.top_k(av, kmax)
+            top_idx = jnp.take_along_axis(ai, pos, axis=1)
+
+            hit = jnp.any(
+                top_idx[:, :, None] == jnp.where(lab >= 0, lab, -2)[:, None, :],
+                axis=2,
+            ).astype(meta.dtype)
+            gains = 1.0 / jnp.log2(jnp.arange(kmax, dtype=meta.dtype) + 2.0)
+            ranks = jnp.arange(kmax, dtype=jnp.int32)
+            hits_k, ndcg_k = [], []
+            for K in meta.top_ks:
+                kK = min(K, meta.catalog)
+                msk = (ranks < kK).astype(meta.dtype)
+                hits_k.append(jnp.sum(hit * msk[None, :] * valid_c[:, None]))
+                dcg = jnp.sum(hit * (gains * msk)[None, :], axis=1)
+                idcg = jnp.sum(
+                    jnp.where(
+                        ranks[None, :] < jnp.minimum(n_labels_c[:, None], kK),
+                        gains[None, :], 0.0,
+                    ),
+                    axis=1,
+                )
+                nd_ = jnp.where(idcg > 0, dcg / jnp.maximum(idcg, 1e-30), 0.0)
+                ndcg_k.append(jnp.sum(nd_ * valid_c))
+
+            # AUC: psum'd below/tie counts against the sharded catalog
+            pos_ok = (lab >= 0) & (lab < meta.catalog)
+            locq = jnp.clip(lab, 0, meta.catalog - 1) - lo
+            owned_q = (locq >= 0) & (locq < n_local)
+            zq_own = jnp.where(
+                owned_q,
+                jnp.take_along_axis(z, jnp.clip(locq, 0, n_local - 1), axis=1),
+                0.0,
+            )
+            z_pos = jax.lax.psum(zq_own, axis)
+            srt = jnp.sort(
+                jnp.where((gid < meta.catalog)[None, :], z, jnp.inf), axis=1
+            )
+            ss = jax.vmap(lambda s, q: jnp.searchsorted(s, q, side="left"))
+            ssr = jax.vmap(lambda s, q: jnp.searchsorted(s, q, side="right"))
+            lt = jax.lax.psum(ss(srt, z_pos).astype(meta.dtype), axis)
+            rt = jax.lax.psum(ssr(srt, z_pos).astype(meta.dtype), axis)
+            ties = rt - lt - 1.0  # minus self
+            npos = jnp.sum(pos_ok, axis=1).astype(meta.dtype)
+            zp_masked = jnp.where(pos_ok, z_pos, jnp.inf)
+            srt_p = jnp.sort(zp_masked, axis=1)
+            lt_pp = ss(srt_p, z_pos).astype(meta.dtype)
+            rt_pp = ssr(srt_p, z_pos).astype(meta.dtype)
+            tie_pp = rt_pp - lt_pp - 1.0
+            per_pos = jnp.where(
+                pos_ok, (lt - lt_pp) + 0.5 * (ties - tie_pp), 0.0
+            )
+            nneg = meta.catalog - npos
+            denom = npos * nneg
+            auc_u = jnp.where(
+                denom > 0, jnp.sum(per_pos, axis=1) / jnp.maximum(denom, 1.0),
+                0.5,
+            )
+            auc = jnp.sum(auc_u * valid_c)
+            return jnp.stack(hits_k), jnp.stack(ndcg_k), ploss, auc
+
+        sharded = jax.jit(
+            jax.shard_map(
+                impl,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P(), P(),
+                          P(axis, None), P(axis), P(axis)),
+                out_specs=(P(), P(), P(), P()),
+                check_vma=False,  # psum/all_gather outputs are replicated
+            )
+        )
+
+        def chunk_fn(Pva_c, at_c, labels_c, n_labels_c, cold_c, valid_c, Q, bt):
+            Qc = {f12: Q[f12] for f12 in f12s}  # cross blocks only (item side)
+            return sharded(Pva_c, at_c, labels_c, n_labels_c, cold_c, valid_c,
+                           Qc, bt, self.data["popular"])
+
+        return chunk_fn
 
     # -- projections ---------------------------------------------------------
 

@@ -53,6 +53,62 @@ def sharded_topk(
     return impl
 
 
+def make_sharded_topk_fn(
+    f12s,
+    mesh: Mesh,
+    k: int,
+    axis: str = "data",
+    catalog: int = 0,
+):
+    """Compile-once builder for chunked serving/predict over an item-sharded
+    catalog.  Returns ``fn(Pva_c, cold_c, Q, bt, popular) -> (vals, ids)``:
+    z = bt + sum_c Pva_c Q_c^T per item shard, cold users replaced by the
+    popularity prior, items >= ``catalog`` masked out (0 = no mask), then
+    local top-K + all_gather merge (reference first-max tie-breaking)."""
+    f12s = sorted(f12s)
+
+    def impl(Pva_c, cold_c, bt_l, pop_l, *q_locals):
+        chunk = next(iter(Pva_c.values())).shape[0]
+        n_local = bt_l.shape[0]
+        z = jnp.broadcast_to(bt_l[None, :], (chunk, n_local))
+        for f12, q in zip(f12s, q_locals):
+            z = z + Pva_c[f12] @ q.T
+        z = jnp.where(cold_c[:, None], pop_l[None, :], z)
+        shard = jax.lax.axis_index(axis)
+        gid = shard * n_local + jnp.arange(n_local, dtype=jnp.int32)
+        if catalog:
+            neg = jnp.asarray(jnp.finfo(z.dtype).min, z.dtype)
+            z = jnp.where((gid < catalog)[None, :], z, neg)
+        vals, idx = jax.lax.top_k(z, min(k, n_local))
+        gidx = gid[idx]
+        all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
+        fvals, pos = jax.lax.top_k(all_vals, k)
+        fidx = jnp.take_along_axis(all_idx, pos, axis=1)
+        return fvals, fidx
+
+    sharded = jax.jit(
+        jax.shard_map(
+            impl,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis))
+            + tuple(P(axis, None) for _ in f12s),
+            out_specs=(P(), P()),
+            # outputs are replicated by construction (all_gather + local
+            # top_k), which the static checker can't infer
+            check_vma=False,
+        )
+    )
+
+    def fn(Pva_c, cold_c, Q, bt, popular):
+        return sharded(
+            {f: Pva_c[f] for f in f12s}, cold_c, bt, popular,
+            *[Q[f] for f in f12s],
+        )
+
+    return fn
+
+
 def topk_over_sharded_catalog(
     Pva_c: Dict[int, Array],
     Q: Dict[int, Array],
@@ -62,30 +118,11 @@ def topk_over_sharded_catalog(
     k: int,
     axis: str = "data",
 ):
-    """Global top-K for a replicated user chunk against an item-sharded
-    catalog: z = bt + sum_c Pva_c Q_c^T computed per item shard."""
-    from jax.sharding import NamedSharding
-
-    item_spec = P(axis, None)
-    f12s = sorted(Q)
-
-    def score_local(bt_l, *q_locals):
-        z = jnp.broadcast_to(
-            bt_l[None, :], (next(iter(Pva_c.values())).shape[0], bt_l.shape[0])
-        )
-        for f12, q in zip(f12s, q_locals):
-            z = z + Pva_c[f12] @ q.T
-        return z
-
-    fn = jax.jit(
-        jax.shard_map(
-            sharded_topk(score_local, mesh, k, axis),
-            mesh=mesh,
-            in_specs=(P(axis),) + tuple(item_spec for _ in f12s),
-            out_specs=(P(), P()),
-            # outputs are replicated by construction (all_gather + local
-            # top_k), which the static checker can't infer
-            check_vma=False,
-        )
-    )
-    return fn(bt, *[Q[f] for f in f12s])
+    """One-shot global top-K for a replicated user chunk against an
+    item-sharded catalog (no cold/catalog handling — see
+    ``make_sharded_topk_fn`` for the full serving path)."""
+    chunk = next(iter(Pva_c.values())).shape[0]
+    cold = jnp.zeros(chunk, bool)
+    pop = jnp.zeros_like(bt)
+    fn = make_sharded_topk_fn(sorted(Q), mesh, k, axis)
+    return fn(Pva_c, cold, Q, bt, pop)

@@ -71,6 +71,11 @@ class TrainConfig:
     mesh_shape: Optional[str] = None  # None | "auto" | "N" | "NxM" (dataxmodel)
     model_min_rows: int = 4096  # row-shard tables >= this on the model axis
     distributed: bool = False  # jax.distributed.initialize() before meshing
+    # eval sharding axis: "users" (row-DP), "items" (catalog-sharded top-K
+    # merge — scales past the dense (chunk, n) cliff), or "auto" (items when
+    # the catalog exceeds eval_item_threshold)
+    eval_shard: str = "auto"
+    eval_item_threshold: int = 1 << 18
 
     def hyper(self) -> HyperParams:
         return HyperParams(
@@ -233,7 +238,14 @@ class Trainer:
             )
             self.evaluator = Evaluator(emeta, edata, chunk=cfg.eval_chunk)
             if self.mesh is not None:
-                self.evaluator = self.evaluator.shard(self.mesh)
+                by_items = cfg.eval_shard == "items" or (
+                    cfg.eval_shard == "auto"
+                    and emeta.n >= cfg.eval_item_threshold
+                )
+                if by_items:
+                    self.evaluator = self.evaluator.shard_items(self.mesh)
+                else:
+                    self.evaluator = self.evaluator.shard(self.mesh)
         self.state = None
         self.epoch_idx = 0
         self._jax = jax
@@ -485,6 +497,24 @@ class Trainer:
         Q = self.state["Q"]
         bt = self.state["b"]
         outs = []
+
+        if ev._item_mesh is not None:
+            # catalog-sharded serving: the same top-K-merge path eval uses
+            from .evalx.sharded_topk import make_sharded_topk_fn
+
+            f12s = [b.f12 for b in meta.layout.cross_blocks()]
+            fn = make_sharded_topk_fn(
+                f12s, ev._item_mesh, k, axis=ev._item_axis,
+                catalog=meta.catalog,
+            )
+            Qc = {f12: Q[f12] for f12 in f12s}
+            for lo in range(0, meta.mt_true, chunk):
+                sl = slice(lo, lo + chunk)
+                Pc = {f12: P[sl] for f12, P in Pva.items()}
+                _, ids = fn(Pc, ev.data["cold"][sl], Qc, bt,
+                            ev.data["popular"])
+                outs.append(np.asarray(ids))
+            return np.concatenate(outs, axis=0)[: meta.mt_true]
 
         @jax.jit
         def score(Pc, cold_c):

@@ -202,6 +202,97 @@ def test_nondivisible_large_table_raises(rng, eight_devices):
         shard_params_model(params, mesh, min_rows=8)
 
 
+def _eval_setup(rng, m=16, n=8, **kw):
+    import jax.numpy as jnp
+    from conftest import dense_to_padded, make_problem
+    from one_class_ffm_tpu.data.dataset import PaddedFields
+    from one_class_ffm_tpu.evalx.jax_eval import Evaluator, make_eval_data
+
+    prob, params = make_problem(rng, m=m, n=n, **kw)
+    lay = prob.layout
+    pads = [dense_to_padded(X, m) for X in prob.Xu]
+    uva = PaddedFields(
+        m=m, m_true=m, f=len(prob.Xu), Ds=tuple(X.shape[1] for X in prob.Xu),
+        idx=tuple(p[0] for p in pads), val=tuple(p[1] for p in pads),
+        freq=tuple(np.ones(X.shape[1]) for X in prob.Xu),
+        row_nnz=sum((X != 0).sum(axis=1) for X in prob.Xu).astype(np.int32),
+    )
+    va_labels = [np.nonzero(prob.pos[i])[0] for i in range(m)]
+    popular = np.full(n, 1.0 / n)
+    meta, data = make_eval_data(
+        uva, va_labels, popular, n_items=n, n_items_true=n, layout=lay,
+        dtype=jnp.float64,
+    )
+    jparams = {
+        b.f12: {"W": jnp.asarray(params["W"][b.f12]),
+                "H": jnp.asarray(params["H"][b.f12])}
+        for b in lay.all_blocks()
+    }
+    Q = {b.f12: jnp.asarray(prob.Xv[b.fj] @ params["H"][b.f12])
+         for b in lay.cross_blocks()}
+    bt = jnp.zeros(n, jnp.float64)
+    for b in lay.item_self_blocks():
+        bt = bt + jnp.sum(
+            jnp.asarray(prob.Xv[b.fi] @ params["W"][b.f12])
+            * jnp.asarray(prob.Xv[b.fj] @ params["H"][b.f12]), axis=1)
+    return meta, data, jparams, Q, bt
+
+
+def test_item_sharded_evaluator_matches(rng, eight_devices):
+    """Catalog sharded over 8 devices: every metric (ladder P@K, nDCG, ploss,
+    AUC, cold fallback, tie-breaking) identical to the dense path."""
+    meta, data, jparams, Q, bt = _eval_setup(rng, m=16, n=16)
+    from one_class_ffm_tpu.evalx.jax_eval import Evaluator
+
+    ev = Evaluator(meta, data, chunk=8)
+    ref = ev.validate(jparams, Q, bt)
+    sev = ev.shard_items(make_mesh(8))
+    got = sev.validate(jparams, Q, bt)
+    for key, val in ref.items():
+        np.testing.assert_allclose(got[key], val, rtol=1e-10, err_msg=key)
+
+
+def test_item_sharded_eval_million_item_catalog(rng, eight_devices):
+    """The n-scaling path: a 1M-item catalog evaluated item-sharded matches
+    the dense reference computed at a small user chunk.  (The dense path
+    holds a (chunk, n) score block per chunk — at web-scale n it cannot fit
+    device memory; the sharded path holds (chunk, n/n_dev) per device.)"""
+    import jax.numpy as jnp
+    from one_class_ffm_tpu.evalx.jax_eval import Evaluator, make_eval_data
+    from one_class_ffm_tpu.data.dataset import PaddedFields
+    from one_class_ffm_tpu.models.blocks import BlockLayout
+
+    m, n, k = 8, 1 << 20, 4
+    lay = BlockLayout.make((m,), (n,), self_side=False)  # mf-style
+    r = np.random.default_rng(1)
+    W = r.normal(size=(m, k))
+    H = r.normal(size=(n, k)) * 0.1
+    uva = PaddedFields(
+        m=m, m_true=m, f=1, Ds=(m,),
+        idx=(np.arange(m, dtype=np.int32)[:, None],),
+        val=(np.ones((m, 1)),),
+        freq=(np.ones(m),),
+        row_nnz=np.ones(m, dtype=np.int32),
+    )
+    va_labels = [r.choice(n, size=5, replace=False) for _ in range(m)]
+    popular = r.random(n)
+    meta, data = make_eval_data(
+        uva, va_labels, popular, n_items=n, n_items_true=n, layout=lay,
+        dtype=jnp.float64,
+    )
+    f12 = lay.cross_blocks()[0].f12
+    jparams = {f12: {"W": jnp.asarray(W), "H": jnp.asarray(H)}}
+    Q = {f12: jnp.asarray(H)}
+    bt = jnp.zeros(n, jnp.float64)
+    ev = Evaluator(meta, data, chunk=8)
+    ref = ev.validate(jparams, Q, bt)
+    sev = ev.shard_items(make_mesh(8))
+    got = sev.validate(jparams, Q, bt)
+    for key, val in ref.items():
+        np.testing.assert_allclose(got[key], val, rtol=1e-9, err_msg=key)
+    assert 0.0 < got["auc"] <= 1.0
+
+
 def test_sharded_evaluator_matches(rng, eight_devices):
     """Evaluator with test users sharded over the mesh == unsharded."""
     import jax.numpy as jnp

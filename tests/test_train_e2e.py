@@ -264,6 +264,29 @@ def test_trainer_2d_mesh_model_sharding(dataset, tmp_path):
                                    rtol=1e-9, atol=1e-11)
 
 
+def test_trainer_item_sharded_eval_matches(dataset, tmp_path):
+    """--eval-shard items through the Trainer: metrics and predictions
+    identical to the single-device dense path."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    tr1 = Trainer(make_cfg(dataset, tmp_path, nr_pass=3, eval_every=3))
+    tr1.run(log=lambda *_: None)
+    m1 = tr1.validate()
+    top1 = tr1.predict_topk(k=7)
+
+    tr8 = Trainer(make_cfg(dataset, tmp_path, nr_pass=3, eval_every=3,
+                           mesh_shape="8", eval_shard="items"))
+    assert tr8.evaluator._item_mesh is not None
+    tr8.run(log=lambda *_: None)
+    m8 = tr8.validate()
+    for key, val in m1.items():
+        np.testing.assert_allclose(m8[key], val, rtol=1e-9, err_msg=key)
+    top8 = tr8.predict_topk(k=7)
+    np.testing.assert_array_equal(top8, top1)
+
+
 def test_cli_mesh_flag(dataset, tmp_path, capsys):
     from one_class_ffm_tpu.cli import main
 
