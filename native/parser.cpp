@@ -197,3 +197,80 @@ int ocffm_write_block(const char* path, const char* name, int f1, int f2,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fast text-model READER (pairs with ocffm_write_block): parses the body
+// lines "N,f1,f2,row v1 .. vk" of the reference model format
+// (/root/reference/ffm.cpp:1176-1222).  Python parses the tiny header and
+// passes the body byte offset; pass 1 (fill=0) counts lines, pass 2 fills
+// flat arrays the Python side groups into block tables.  Replaces per-token
+// Python float parsing (minutes and GBs of transient objects on
+// multi-million-row models).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int ocffm_read_model(const char* path, long long offset, int64_t k,
+                     int64_t* n_rows_io, int8_t* name, int32_t* bf1,
+                     int32_t* bf2, int64_t* brow, double* vals, int fill) {
+    FILE* fp = fopen(path, "rb");
+    if (!fp) return -1;
+    static const size_t BUF = 1 << 20;
+    char* iobuf = (char*)malloc(BUF);
+    setvbuf(fp, iobuf, _IOFBF, BUF);
+    if (fseek(fp, (long)offset, SEEK_SET) != 0) {
+        fclose(fp);
+        free(iobuf);
+        return -2;
+    }
+    char* line = nullptr;
+    size_t cap = 0;
+    int64_t nrows = 0;
+    int rc = 0;
+    while (true) {
+        ssize_t len = getline(&line, &cap, fp);
+        if (len < 0) break;
+        char* p = line;
+        while (*p == ' ' || *p == '\t') p++;
+        if (*p == '\n' || *p == '\0') continue;  // blank line
+        if (fill) {
+            if (nrows >= *n_rows_io) { rc = -4; break; }
+            // "W,f1,f2,row v1 .. vk"
+            char nm = *p;
+            if (nm != 'W' && nm != 'H') { rc = -3; break; }
+            p++;
+            if (*p++ != ',') { rc = -3; break; }
+            char* end;
+            long f1 = strtol(p, &end, 10);
+            if (end == p || *end != ',') { rc = -3; break; }
+            p = end + 1;
+            long f2 = strtol(p, &end, 10);
+            if (end == p || *end != ',') { rc = -3; break; }
+            p = end + 1;
+            long long row = strtoll(p, &end, 10);
+            if (end == p) { rc = -3; break; }
+            p = end;
+            name[nrows] = (nm == 'W') ? 0 : 1;
+            bf1[nrows] = (int32_t)f1;
+            bf2[nrows] = (int32_t)f2;
+            brow[nrows] = (int64_t)row;
+            double* out = vals + nrows * k;
+            for (int64_t c = 0; c < k; c++) {
+                double v = strtod(p, &end);
+                if (end == p) { rc = -3; goto done; }
+                out[c] = v;
+                p = end;
+            }
+        }
+        nrows++;
+    }
+done:
+    free(line);
+    fclose(fp);
+    free(iobuf);
+    if (rc) return rc;
+    *n_rows_io = nrows;
+    return 0;
+}
+
+}  // extern "C"

@@ -123,6 +123,57 @@ def parse_text_native(
     )
 
 
+def read_model_body_native(path: str, offset: int, k: int):
+    """Parse the model body (lines ``N,f1,f2,row v1 .. vk`` after byte
+    ``offset``) via the C reader.  Returns (name_codes, f1, f2, row, vals)
+    flat arrays (name code 0 = W, 1 = H) or None when the native lib is
+    unavailable."""
+    try:
+        lib = _load()
+    except OSError:
+        return None
+    if not hasattr(lib, "ocffm_read_model"):
+        return None
+    lib.ocffm_read_model.restype = ctypes.c_int
+    lib.ocffm_read_model.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_longlong,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+    ]
+    n = ctypes.c_int64(0)
+    none = ctypes.POINTER(ctypes.c_int8)()
+    rc = lib.ocffm_read_model(
+        path.encode(), offset, k, ctypes.byref(n), none,
+        ctypes.POINTER(ctypes.c_int32)(), ctypes.POINTER(ctypes.c_int32)(),
+        ctypes.POINTER(ctypes.c_int64)(), ctypes.POINTER(ctypes.c_double)(),
+        0,
+    )
+    if rc != 0:
+        raise ValueError(f"malformed model file: {path} (rc={rc})")
+    n_rows = n.value
+    name = np.empty(n_rows, dtype=np.int8)
+    f1 = np.empty(n_rows, dtype=np.int32)
+    f2 = np.empty(n_rows, dtype=np.int32)
+    row = np.empty(n_rows, dtype=np.int64)
+    vals = np.empty((n_rows, k), dtype=np.float64)
+    rc = lib.ocffm_read_model(
+        path.encode(), offset, k, ctypes.byref(n),
+        _as_ptr(name, ctypes.c_int8), _as_ptr(f1, ctypes.c_int32),
+        _as_ptr(f2, ctypes.c_int32), _as_ptr(row, ctypes.c_int64),
+        _as_ptr(vals, ctypes.c_double), 1,
+    )
+    if rc != 0:
+        raise ValueError(f"malformed model file on fill: {path} (rc={rc})")
+    return name, f1, f2, row, vals
+
+
 def write_block_native(path: str, name: str, f1: int, f2: int, table) -> bool:
     """Append one model block via the C writer; returns False if unavailable."""
     try:

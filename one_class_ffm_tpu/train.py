@@ -578,24 +578,72 @@ def _fmt_g(x: float) -> str:
 
 
 def load_text_model(path: str):
-    """Parse the text model back into (layout metadata, params)."""
+    """Parse the text model back into (layout metadata, params).
+
+    Dispatches the body (the multi-GB part on production models) to the C++
+    reader (native/parser.cpp ocffm_read_model) when built, falling back to
+    the pure-Python parser."""
     with open(path) as fh:
-        lines = fh.read().splitlines()
-    f = int(lines[0])
-    fu = int(lines[1])
-    fv = int(lines[2])
-    k = int(lines[3])
-    Du = [int(lines[4 + i]) for i in range(fu)]
-    Dv = [int(lines[4 + fu + i]) for i in range(fv)]
-    body = lines[4 + fu + fv :]
-    tables: Dict[Tuple[str, int, int], Dict[int, List[float]]] = {}
-    for ln in body:
-        if not ln:
-            continue
-        head, vals = ln.split(" ", 1)
-        name, f1, f2, row = head.split(",")
-        key = (name, int(f1), int(f2))
-        tables.setdefault(key, {})[int(row)] = [float(x) for x in vals.split()]
+        header: List[str] = []
+        while True:
+            header.append(fh.readline())
+            # f, fu, fv, k read first; then fu+fv dim lines
+            if len(header) >= 4:
+                fu = int(header[1])
+                fv = int(header[2])
+                if len(header) == 4 + fu + fv:
+                    break
+        offset = fh.tell()
+    f = int(header[0])
+    fu = int(header[1])
+    fv = int(header[2])
+    k = int(header[3])
+    Du = [int(header[4 + i]) for i in range(fu)]
+    Dv = [int(header[4 + fu + i]) for i in range(fv)]
+
+    flat = None
+    try:
+        from .data.native_io import read_model_body_native
+
+        flat = read_model_body_native(path, offset, k)
+    except Exception:
+        flat = None
+
+    tables: Dict[Tuple[str, int, int], Dict[int, Any]] = {}
+    if flat is not None:
+        names, bf1, bf2, brow, vals = flat
+        # group rows into block tables (vectorized: sort by block key)
+        for code, nm in ((0, "W"), (1, "H")):
+            msk = names == code
+            keys = bf1[msk].astype(np.int64) * (f + 1) + bf2[msk]
+            rows_b = brow[msk]
+            vals_b = vals[msk]
+            for key in np.unique(keys):
+                sel = keys == key
+                f1i, f2i = int(key // (f + 1)), int(key % (f + 1))
+                d = int(rows_b[sel].max()) + 1
+                arr = np.zeros((d, k))
+                arr[rows_b[sel]] = vals_b[sel]
+                tables[(nm, f1i, f2i)] = arr
+    else:
+        with open(path) as fh:
+            fh.seek(offset)
+            acc: Dict[Tuple[str, int, int], Dict[int, List[float]]] = {}
+            for ln in fh:
+                ln = ln.strip()
+                if not ln:
+                    continue
+                head, v = ln.split(" ", 1)
+                name, f1s, f2s, row = head.split(",")
+                key = (name, int(f1s), int(f2s))
+                acc.setdefault(key, {})[int(row)] = [float(x) for x in v.split()]
+        for key, rows in acc.items():
+            d = max(rows) + 1
+            arr = np.zeros((d, k))
+            for r, v in rows.items():
+                arr[r] = v
+            tables[key] = arr
+
     # reconstruct self_side from which blocks exist
     self_side = any(
         (f1 < fu and f2 < fu) or (f1 >= fu and f2 >= fu)
@@ -604,14 +652,10 @@ def load_text_model(path: str):
     layout = BlockLayout.make(Du, Dv, self_side)
     params: Dict[int, Dict[str, np.ndarray]] = {}
     for b in layout.all_blocks():
-        params[b.f12] = {}
-        for name in ("W", "H"):
-            rows = tables[(name, b.f1, b.f2)]
-            d = max(rows) + 1
-            arr = np.zeros((d, k))
-            for r, v in rows.items():
-                arr[r] = v
-            params[b.f12][name] = arr
+        params[b.f12] = {
+            "W": tables[("W", b.f1, b.f2)],
+            "H": tables[("H", b.f1, b.f2)],
+        }
     return layout, k, params
 
 

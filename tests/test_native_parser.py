@@ -86,3 +86,53 @@ def test_dispatch_prefers_native(tmp_path):
             np.testing.assert_array_equal(x, y)
         else:
             assert x == y
+
+
+def test_native_model_reader_matches_python(tmp_path):
+    """The C++ model-body reader (ocffm_read_model) and the pure-Python
+    fallback produce identical params from the same text model."""
+    import numpy as np
+
+    from one_class_ffm_tpu.data import native_io
+    from one_class_ffm_tpu.models.blocks import BlockLayout
+    from one_class_ffm_tpu.train import load_text_model, save_text_model
+
+    rng = np.random.default_rng(5)
+    layout = BlockLayout.make((7, 3), (5, 2), self_side=True)
+    k = 3
+    params = {
+        b.f12: {
+            "W": rng.normal(size=(b.d1, k)),
+            "H": rng.normal(size=(b.d2, k)),
+        }
+        for b in layout.all_blocks()
+    }
+    path = str(tmp_path / "m.txt")
+    save_text_model(path, params, layout, k)
+
+    assert os.path.exists(
+        os.path.join(os.path.dirname(native_io.__file__), "..", "..",
+                     "native", "libocffm.so")
+    ), "native lib must be built for this test"
+    lay_n, k_n, got_native = load_text_model(path)
+
+    # force the Python fallback
+    orig = native_io.read_model_body_native
+    native_io.read_model_body_native = lambda *a, **kw: None
+    try:
+        lay_p, k_p, got_python = load_text_model(path)
+    finally:
+        native_io.read_model_body_native = orig
+
+    assert k_n == k_p == k
+    assert (lay_n.fu, lay_n.fv) == (lay_p.fu, lay_p.fv) == (2, 2)
+    for b in layout.all_blocks():
+        for name in ("W", "H"):
+            np.testing.assert_array_equal(
+                got_native[b.f12][name], got_python[b.f12][name]
+            )
+            # %.6g round-trip against the originals
+            np.testing.assert_allclose(
+                got_native[b.f12][name], params[b.f12][name],
+                rtol=2e-5, atol=1e-7,
+            )
