@@ -58,6 +58,11 @@ class ProblemMeta:
     nnz: int  # padded positive count
     dtype: Any = jnp.float32
     d_multiple: int = 1  # block-table row dims rounded up to this multiple
+    # per-field "strict identity encoding" flags (p=1, val=1, idx[i]=i,
+    # D == rows): project == zero-padded table, scatter == masked slice —
+    # no random access at all.  Detected from the data in make_device_data.
+    ident_u: Tuple[bool, ...] = ()
+    ident_v: Tuple[bool, ...] = ()
 
     def pad_d(self, d: int) -> int:
         """Padded table row dim.  Pad rows are never indexed by any feature,
@@ -91,6 +96,27 @@ def make_device_data(
     ``d_multiple`` > 1 rounds every block table's row dim (and its reg
     vector) up to that multiple so tables divide a ``model`` mesh axis.
     """
+    def ident_flags(pf: PaddedFields) -> Tuple[bool, ...]:
+        """Strict identity-encoded fields: row i's single feature is
+        (idx=i, val=1) and the field dim equals the true row count.  For
+        such fields X is the identity (plus zero pad rows), so X W == W
+        and X^T Z == Z[:D] — the random gather/scatter pair disappears.
+        True for the id field of every MF-style dataset and the synthetic
+        benchmark's id fields."""
+        out = []
+        for fi in range(pf.f):
+            idx, val, D = pf.idx[fi], pf.val[fi], pf.Ds[fi]
+            mt = pf.m_true
+            ok = (
+                idx.shape[1] == 1
+                and D == mt
+                and bool(np.all(idx[:mt, 0] == np.arange(mt)))
+                and bool(np.all(val[:mt, 0] == 1))
+                and bool(np.all(val[mt:, 0] == 0))
+            )
+            out.append(ok)
+        return tuple(out)
+
     meta = ProblemMeta(
         layout=layout,
         hp=hp,
@@ -101,6 +127,8 @@ def make_device_data(
         nnz=y.nnz,
         dtype=dtype,
         d_multiple=d_multiple,
+        ident_u=ident_flags(u),
+        ident_v=ident_flags(v),
     )
 
     def regs(pf: PaddedFields):
@@ -192,6 +220,43 @@ class FFMSolver:
             return d["xu_idx"][fl], d["xu_val"][fl], d["reg_u"][fl], self.meta.m
         return d["xv_idx"][fl], d["xv_val"][fl], d["reg_v"][fl], self.meta.n
 
+    def _side_ident(self, b: BlockInfo, first: bool):
+        """(is_identity, padded_rows, true_rows) for the block side."""
+        fg = b.f1 if first else b.f2
+        fl = b.fi if first else b.fj
+        meta = self.meta
+        if fg < meta.layout.fu:
+            ident = meta.ident_u[fl] if fl < len(meta.ident_u) else False
+            return ident, meta.m, meta.m_true
+        ident = meta.ident_v[fl] if fl < len(meta.ident_v) else False
+        return ident, meta.n, meta.n_true
+
+    def _proj(self, b: BlockInfo, first: bool, T: Array) -> Array:
+        """X_side @ T.  Identity fields skip the random gather entirely:
+        X is the identity over true rows, so the projection is the table
+        itself zero-padded to the row count (table pad rows are zero by
+        invariant)."""
+        ident, rows, _ = self._side_ident(b, first)
+        if ident and T.shape[0] <= rows:
+            if T.shape[0] == rows:
+                return T
+            return jnp.pad(T, ((0, rows - T.shape[0]), (0, 0)))
+        i1, v1, _, _ = self._side_arrays(b, first)
+        return project(i1, v1, T)
+
+    def _scat(self, b: BlockInfo, first: bool, Z: Array, dim: int) -> Array:
+        """X_side^T @ Z.  Identity fields: a slice (row d receives exactly
+        row d's contribution), masking any table pad rows — data pad rows
+        carry nonzero omega terms that val==0 drops in the general path."""
+        ident, rows, rows_true = self._side_ident(b, first)
+        if ident and dim <= Z.shape[0]:
+            G = Z[:dim]
+            if dim > rows_true:
+                G = G * (jnp.arange(dim) < rows_true)[:, None].astype(G.dtype)
+            return G
+        i1, v1, _, _ = self._side_arrays(b, first)
+        return scatter(i1, v1, Z, dim)
+
     # -- init -----------------------------------------------------------------
 
     def init(self, key: Array) -> Dict[str, Any]:
@@ -246,10 +311,8 @@ class FFMSolver:
     def _refresh_impl(self, params) -> Dict[str, Any]:
         P, Q = {}, {}
         for b in self.blocks:
-            i1, v1, _, _ = self._side_arrays(b, True)
-            i2, v2, _, _ = self._side_arrays(b, False)
-            P[b.f12] = project(i1, v1, params[b.f12]["W"])
-            Q[b.f12] = project(i2, v2, params[b.f12]["H"])
+            P[b.f12] = self._proj(b, True, params[b.f12]["W"])
+            Q[b.f12] = self._proj(b, False, params[b.f12]["H"])
         a, b_vec = self._side_sums(P, Q)
         yt = self._pos_scores(P, Q, a, b_vec) - 1.0
         return dict(params=params, P=P, Q=Q, a=a, b=b_vec, yt=yt)
@@ -326,7 +389,9 @@ class FFMSolver:
             other_sum = jnp.sum(state["a"])
             zpos = seg_sum(c, d["pos_v"], meta.n)
         z = hp.omega * (n_other * (side - hp.r) + other_sum + s_cache) + zpos
-        return hp.lam * reg[:, None] * T + scatter(i1, v1, z[:, None] * Q1, T.shape[0])
+        return hp.lam * reg[:, None] * T + self._scat(
+            b, first, z[:, None] * Q1, T.shape[0]
+        )
 
     def _grad_cross(self, state, b: BlockInfo, first: bool) -> Array:
         """Gradient for one table of a cross block (gd_cross, ffm.cpp:630-703).
@@ -365,7 +430,7 @@ class FFMSolver:
             )
             zpos = pos_scatter(c, P1, d["pos_u"], d["pos_v"], meta.n)
         Z = dense + zpos
-        return hp.lam * reg[:, None] * T + scatter(i1, v1, Z, T.shape[0])
+        return hp.lam * reg[:, None] * T + self._scat(b, first, Z, T.shape[0])
 
     # -- Hessian-vector products ---------------------------------------------
 
@@ -384,9 +449,11 @@ class FFMSolver:
         dim = (state["params"][b.f12]["W" if first else "H"]).shape[0]
 
         def hv(V: Array) -> Array:
-            phi = project(i1, v1, V)
+            phi = self._proj(b, first, V)
             s = dd * jnp.sum(Q1 * phi, axis=1)
-            return hp.lam * reg[:, None] * V + scatter(i1, v1, s[:, None] * Q1, dim)
+            return hp.lam * reg[:, None] * V + self._scat(
+                b, first, s[:, None] * Q1, dim
+            )
 
         return hv
 
@@ -410,7 +477,7 @@ class FFMSolver:
         w_pos = d["pos_w"]
 
         def hv(V: Array) -> Array:
-            phi = project(i1, v1, V)  # (rows, k)
+            phi = self._proj(b, first, V)  # (rows, k)
             dense = hp.omega * (phi @ QTQ)
             # NOTE: measured 10x SLOWER when "fused" via ops.pos_hv — the
             # manual gather materialization defeats XLA's own fusion of the
@@ -418,7 +485,7 @@ class FFMSolver:
             pq = pos_dot(phi, own, Q1, other) * w_pos
             zp = pos_scatter((1.0 - hp.omega) * pq, Q1, other, own, num,
                              seg_sorted=first)
-            return hp.lam * reg[:, None] * V + scatter(i1, v1, dense + zp, dim)
+            return hp.lam * reg[:, None] * V + self._scat(b, first, dense + zp, dim)
 
         return hv
 
@@ -465,7 +532,7 @@ class FFMSolver:
         params[f12] = blk_params
         state["params"] = params
 
-        dP = project(i1, v1, S)
+        dP = self._proj(b, first, S)
         cache_key = "P" if first else "Q"
         caches = dict(state[cache_key])
         caches[f12] = caches[f12] + dP

@@ -150,3 +150,104 @@ def test_objective_decreases_over_epochs(rng):
     # Gauss-Newton on an exactly quadratic subproblem: monotone decrease.
     for prev, nxt in zip(losses, losses[1:]):
         assert nxt <= prev + 1e-9
+
+
+def test_identity_field_shortcut_matches_general_path(rng):
+    """A strict identity-encoded field (Xu[0] = I) must take the
+    project/scatter shortcut and produce bit-equal epochs vs the general
+    gather/scatter path (flags stripped)."""
+    import dataclasses
+
+    import numpy as np
+
+    from conftest import (
+        make_problem, oracle_params_to_jax, to_device_problem,
+    )
+    from one_class_ffm_tpu.solver.jax_solver import FFMSolver
+
+    m, n = 11, 7
+    prob, params = make_problem(rng, m=m, n=n, Du=(m, 5), Dv=(n, 4))
+    # make field 0 on both sides strict identity encodings
+    prob.Xu[0][:] = np.eye(m)
+    prob.Xv[0][:] = np.eye(n)
+    prob.freq_u[0][:] = 1.0
+    prob.freq_v[0][:] = 1.0
+    meta, data = to_device_problem(prob, row_pad=1)
+    assert meta.ident_u[0] and meta.ident_v[0]
+    assert not meta.ident_u[1] and not meta.ident_v[1]
+
+    meta_gen = dataclasses.replace(meta, ident_u=(), ident_v=())
+    s_id = FFMSolver(meta, data)
+    s_gen = FFMSolver(meta_gen, dict(data))
+    st_id = s_id.refresh_caches({"params": oracle_params_to_jax(params)})
+    st_gen = s_gen.refresh_caches({"params": oracle_params_to_jax(params)})
+    for _ in range(2):
+        st_id = s_id.epoch(st_id)
+        st_gen = s_gen.epoch(st_gen)
+    for f12 in st_gen["params"]:
+        for name in ("W", "H"):
+            np.testing.assert_allclose(
+                np.asarray(st_id["params"][f12][name]),
+                np.asarray(st_gen["params"][f12][name]),
+                rtol=1e-12, atol=1e-14,
+            )
+    np.testing.assert_allclose(
+        float(s_id.objective(st_id)), float(s_gen.objective(st_gen)),
+        rtol=1e-12,
+    )
+    # oracle gate: the shortcut epoch still matches the fp64 oracle
+    from one_class_ffm_tpu.solver.oracle import objective as oracle_obj
+
+    obj = oracle_obj(
+        prob,
+        {"W": {f: np.asarray(st_id["params"][f]["W"]) for f in st_gen["params"]},
+         "H": {f: np.asarray(st_id["params"][f]["H"]) for f in st_gen["params"]}},
+    )
+    np.testing.assert_allclose(float(s_id.objective(st_id)), obj, rtol=1e-8)
+
+
+def test_identity_shortcut_with_padded_tables(rng):
+    """Identity shortcut composes with d_multiple table padding: the masked
+    slice must drop data-pad-row omega terms (nonzero in Z) exactly."""
+    import dataclasses
+
+    import numpy as np
+
+    from conftest import (
+        make_problem, oracle_params_to_jax, to_device_problem,
+    )
+    from one_class_ffm_tpu.solver.jax_solver import FFMSolver
+
+    m, n = 10, 6
+    prob, params = make_problem(rng, m=m, n=n, Du=(m, 5), Dv=(n, 4))
+    prob.Xu[0][:] = np.eye(m)
+    prob.Xv[0][:] = np.eye(n)
+    prob.freq_u[0][:] = 1.0
+    prob.freq_v[0][:] = 1.0
+    meta, data = to_device_problem(prob, row_pad=2, d_multiple=8)
+    assert meta.ident_u[0]
+    meta_gen = dataclasses.replace(meta, ident_u=(), ident_v=())
+
+    def pad_p(params):
+        out = {}
+        for f12 in params["W"]:
+            out[f12] = {}
+            for nm in ("W", "H"):
+                t = np.asarray(params[nm][f12])
+                dp = meta.pad_d(t.shape[0])
+                out[f12][nm] = jnp.asarray(
+                    np.pad(t, [(0, dp - t.shape[0]), (0, 0)])
+                )
+        return out
+
+    import jax.numpy as jnp
+
+    s_id = FFMSolver(meta, data)
+    s_gen = FFMSolver(meta_gen, dict(data))
+    st_id = s_id.epoch(s_id.refresh_caches({"params": pad_p(params)}))
+    st_gen = s_gen.epoch(s_gen.refresh_caches({"params": pad_p(params)}))
+    for f12 in st_gen["params"]:
+        for name in ("W", "H"):
+            got = np.asarray(st_id["params"][f12][name])
+            ref = np.asarray(st_gen["params"][f12][name])
+            np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-14)
