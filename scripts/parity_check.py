@@ -1,22 +1,40 @@
-"""Metric-parity harness: C++ reference vs the TPU framework on the same data.
+"""Statistical metric-parity harness: C++ reference vs the TPU framework.
 
-Builds the reference binary (scripts/build_reference.sh), generates a
-synthetic dataset, runs both trainers with identical hyperparameters, parses
-each one's final validation row, and checks the metrics agree within a
-tolerance that reflects run-to-run variance (inits differ: unseeded libc
-rand() vs jax PRNG — parity is statistical, SURVEY.md §7 hard parts).
+The reference's init is an unseeded libc ``rand()`` (deterministic per
+process, /root/reference/ffm.cpp:71-78), so single-run comparisons prove
+little: the right instrument is N paired trials over independently generated
+datasets, comparing per-metric MEANS within combined run-to-run variance.
+
+For every model variant (the reference capability matrix, SURVEY.md §2.3):
+
+    ffm-ffm      multi-field user+item, self blocks on
+    ffm-ffm--ns  same encoding, --ns (cross blocks only)
+    fm-fm        all features in ONE field per side (reference fm encoders)
+    fm-fm--ns    same, --ns
+    mf-mf--ns    id-only encoding, --ns
+    ffm-freq     ffm-ffm with --freq (frequency-weighted lambda)
+
+this runs ``--seeds`` paired trials (dataset seed varies; each side trains
+on the identical files) and accepts when for every metric
+
+    |mean_ref - mean_ours| <= max(2*sigma_pair/sqrt(N), rtol*|mean_ref|, floor)
+
+where sigma_pair is the std of the per-seed differences (paired design) and
+floor absorbs quantization of tiny x100 metrics.
 
 Usage:
-    python scripts/parity_check.py [--users 2000] [--items 200] [--k 8]
-        [--epochs 20] [--omega 0.1] [--lam 0.05] [--rtol 0.35]
+    python scripts/parity_check.py [--seeds 5] [--rtol 0.15]
+        [--variants ffm-ffm,fm-fm,...] [--users 2000] [--epochs 20]
 
-Exit 0 on parity, 1 on divergence.
+Exit 0 on parity for every variant, 1 otherwise.  Markdown rows for
+docs/PARITY.md are printed at the end.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import subprocess
 import sys
@@ -25,6 +43,8 @@ import tempfile
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
+
+METRICS = ["p@5", "p@10", "p@20", "ndcg@10", "ndcg@20", "ploss"]
 
 
 def build_reference() -> str:
@@ -45,6 +65,109 @@ def last_metric_row(text: str):
     return row
 
 
+def row_metrics(row) -> dict:
+    out = {}
+    for K in (5, 10, 20, 40, 80):
+        if K in row.p:
+            out[f"p@{K}"] = row.p[K]
+        if K in row.ndcg:
+            out[f"ndcg@{K}"] = row.ndcg[K]
+    if row.ploss is not None:
+        out["ploss"] = row.ploss
+    return out
+
+
+def flatten_fields(rows, dims):
+    """Re-encode multi-field rows as a single field with offset ids — the
+    reference's fm encoding (all features in one field, kdd12.tools
+    user_fm.py semantics)."""
+    offs = [0]
+    for d in dims[:-1]:
+        offs.append(offs[-1] + d)
+    out = []
+    for labels, feats in rows:
+        out.append((labels, [(0, offs[f] + i, v) for (f, i, v) in feats]))
+    return out
+
+
+def gen_variant(workdir: str, variant: str, users: int, items: int, seed: int):
+    """Write item/train/va files for one variant; returns paths + extra CLI
+    flags (shared verbatim by both trainers)."""
+    import numpy as np
+
+    from one_class_ffm_tpu.data.synth import SynthSpec, generate, _write_rows
+
+    flags = []
+    if variant in ("ffm-ffm", "ffm-ffm--ns", "ffm-freq"):
+        spec = SynthSpec(n_users=users, n_items=items, avg_pos=6.0, seed=seed)
+    elif variant in ("fm-fm", "fm-fm--ns"):
+        spec = SynthSpec(n_users=users, n_items=items, avg_pos=6.0, seed=seed)
+    elif variant == "mf-mf--ns":
+        spec = SynthSpec(n_users=users, n_items=items, avg_pos=6.0, seed=seed,
+                         fu=1, fv=1)
+    else:
+        raise ValueError(variant)
+    if variant.endswith("--ns") or variant == "mf-mf--ns":
+        flags.append("--ns")
+    if variant == "ffm-freq":
+        flags.append("--freq")
+
+    rng = np.random.default_rng(seed + 1)
+    user_rows, item_rows = generate(spec)
+    if variant.startswith("fm-"):
+        du, dv = spec.resolve()
+        user_rows = flatten_fields(user_rows, list(du))
+        item_rows = flatten_fields(item_rows, list(dv))
+
+    tr_rows, va_rows = [], []
+    for labels, feats in user_rows:
+        labels = list(labels)
+        rng.shuffle(labels)
+        n_va = int(len(labels) * 0.2)
+        if len(labels) - n_va < 1:
+            n_va = max(0, len(labels) - 1)
+        va, tr = labels[:n_va], labels[n_va:]
+        tr_rows.append((sorted(tr), feats))
+        if va:
+            va_rows.append((sorted(va), feats))
+    item_path = os.path.join(workdir, "items.txt")
+    train_path = os.path.join(workdir, "train.txt")
+    va_path = os.path.join(workdir, "va.txt")
+    _write_rows(item_path, item_rows, with_labels=False)
+    _write_rows(train_path, tr_rows, with_labels=True)
+    _write_rows(va_path, va_rows, with_labels=True)
+    return item_path, train_path, va_path, flags
+
+
+def run_pair(binary, files, flags, args, seed):
+    item, train, va = files
+    hp = ["-k", str(args.k), "-l", str(args.lam), "-w", str(args.omega),
+          "-r", "-1", "-t", str(args.epochs)]
+    ref_cmd = [binary, *hp, "-c", "4", "-p", va, *flags, item, train]
+    ref = subprocess.run(ref_cmd, capture_output=True, text=True)
+    if ref.returncode != 0:
+        raise RuntimeError(f"reference failed: {ref.stderr[-500:]}")
+    our_cmd = [sys.executable, "-m", "one_class_ffm_tpu", item, train,
+               "-p", va, *hp, "--eval-every", str(args.epochs),
+               "--seed", str(seed), "--platform", "cpu", *flags]
+    ours = subprocess.run(our_cmd, capture_output=True, text=True,
+                          cwd=REPO)
+    if ours.returncode != 0:
+        raise RuntimeError(f"ours failed: {ours.stderr[-500:]}")
+    r = last_metric_row(ref.stdout)
+    o = last_metric_row(ours.stdout)
+    if r is None or o is None:
+        raise RuntimeError("missing metric rows")
+    return row_metrics(r), row_metrics(o)
+
+
+def mean_std(xs):
+    n = len(xs)
+    mu = sum(xs) / n
+    var = sum((x - mu) ** 2 for x in xs) / max(n - 1, 1)
+    return mu, math.sqrt(var)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--users", type=int, default=2000)
@@ -53,79 +176,68 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--omega", type=float, default=0.1)
     ap.add_argument("--lam", type=float, default=0.05)
-    ap.add_argument("--rtol", type=float, default=0.35,
-                    help="relative tolerance on ranking metrics")
-    ap.add_argument("--ns", action="store_true")
+    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--rtol", type=float, default=0.15)
+    ap.add_argument("--floor", type=float, default=0.25,
+                    help="absolute tolerance floor on x100 metrics")
+    ap.add_argument("--variants", default=("ffm-ffm,ffm-ffm--ns,fm-fm,"
+                                           "fm-fm--ns,mf-mf--ns,ffm-freq"))
     args = ap.parse_args()
 
-    from one_class_ffm_tpu.data.synth import SynthSpec, write_dataset
-
     binary = build_reference()
-    workdir = tempfile.mkdtemp(prefix="parity_")
-    spec = SynthSpec(
-        n_users=args.users, n_items=args.items, avg_pos=6.0, seed=42
-    )
-    item, train, va = write_dataset(workdir, spec)
+    all_ok = True
+    md_lines = []
+    for variant in args.variants.split(","):
+        variant = variant.strip()
+        refs, ours = [], []
+        for s in range(args.seeds):
+            workdir = tempfile.mkdtemp(prefix=f"parity_{variant}_{s}_")
+            item, train, va, flags = gen_variant(
+                workdir, variant, args.users, args.items, seed=1000 + s
+            )
+            r, o = run_pair(binary, (item, train, va), flags, args, seed=s)
+            refs.append(r)
+            ours.append(o)
+            print(f"[{variant} seed {s}] ref={json.dumps(r)}")
+            print(f"[{variant} seed {s}] our={json.dumps(o)}", flush=True)
 
-    ref_cmd = [binary, "-k", str(args.k), "-l", str(args.lam),
-               "-w", str(args.omega), "-r", "-1", "-t", str(args.epochs),
-               "-c", "4", "-p", va]
-    if args.ns:
-        ref_cmd.append("--ns")
-    ref_cmd += [item, train]
-    print("reference:", " ".join(ref_cmd))
-    ref = subprocess.run(ref_cmd, capture_output=True, text=True)
-    if ref.returncode != 0:
-        print("reference FAILED:", ref.stderr[-800:])
-        return 1
-    ref_out = ref.stdout
+        print(f"\n== {variant}: mean over {args.seeds} paired trials ==")
+        print(f"{'metric':>8} {'ref mean±σ':>16} {'ours mean±σ':>16} "
+              f"{'Δmean':>8} {'tol':>8}")
+        v_ok = True
+        for m in METRICS:
+            rv = [r[m] for r in refs if m in r]
+            ov = [o[m] for o in ours if m in o]
+            if not rv or not ov:
+                continue
+            mu_r, sd_r = mean_std(rv)
+            mu_o, sd_o = mean_std(ov)
+            diffs = [o_ - r_ for r_, o_ in zip(rv, ov)]
+            _, sd_d = mean_std(diffs)
+            dm = abs(mu_o - mu_r)
+            tol = max(2.0 * sd_d / math.sqrt(len(diffs)),
+                      args.rtol * abs(mu_r), args.floor)
+            ok = dm <= tol
+            v_ok &= ok
+            print(f"{m:>8} {mu_r:8.3g}±{sd_r:<6.2g} {mu_o:8.3g}±{sd_o:<6.2g} "
+                  f"{dm:8.3g} {tol:8.3g}{'' if ok else '  <-- DIVERGED'}")
+            md_lines.append(
+                f"| {variant} | {m} | {mu_r:.3g} ± {sd_r:.2g} | "
+                f"{mu_o:.3g} ± {sd_o:.2g} | {dm:.2g} | {tol:.2g} | "
+                f"{'ok' if ok else 'DIVERGED'} |"
+            )
+        print(f"{variant}: {'PARITY OK' if v_ok else 'PARITY FAILED'}\n",
+              flush=True)
+        all_ok &= v_ok
 
-    our_cmd = [sys.executable, "-m", "one_class_ffm_tpu", item, train,
-               "-p", va, "-k", str(args.k), "-l", str(args.lam),
-               "-w", str(args.omega), "-r", "-1", "-t", str(args.epochs),
-               "--eval-every", "10"]
-    if args.ns:
-        our_cmd.append("--ns")
-    print("ours:", " ".join(our_cmd))
-    ours = subprocess.run(our_cmd, capture_output=True, text=True)
-    if ours.returncode != 0:
-        print("ours FAILED:", ours.stderr[-800:])
-        return 1
-    our_out = ours.stdout
-
-    ref_row = last_metric_row(ref_out)
-    our_row = last_metric_row(our_out)
-    if ref_row is None or our_row is None:
-        print("FAIL: missing metric rows", ref_out[-500:], our_out[-500:])
-        return 1
-
-    print(f"{'metric':>10} {'reference':>12} {'ours':>12} {'rel diff':>10}")
-    ok = True
-    for K in (5, 10, 20, 40, 80):
-        r, o = ref_row.p.get(K), our_row.p.get(K)
-        if r is None or o is None:
-            continue
-        rel = abs(o - r) / max(abs(r), 1e-9)
-        flag = "" if rel <= args.rtol or abs(o - r) < 0.5 else "  <-- DIVERGED"
-        if flag:
-            ok = False
-        print(f"{'p@' + str(K):>10} {r:12.4g} {o:12.4g} {rel:10.2%}{flag}")
-        rn, on = ref_row.ndcg.get(K), our_row.ndcg.get(K)
-        if rn is not None and on is not None:
-            rel = abs(on - rn) / max(abs(rn), 1e-9)
-            flag = "" if rel <= args.rtol or abs(on - rn) < 0.5 else "  <-- DIVERGED"
-            if flag:
-                ok = False
-            print(f"{'ndcg@' + str(K):>10} {rn:12.4g} {on:12.4g} {rel:10.2%}{flag}")
-    if ref_row.ploss is not None and our_row.ploss is not None:
-        rel = abs(our_row.ploss - ref_row.ploss) / max(ref_row.ploss, 1e-9)
-        flag = "" if rel <= args.rtol else "  <-- DIVERGED"
-        if flag:
-            ok = False
-        print(f"{'ploss':>10} {ref_row.ploss:12.4g} {our_row.ploss:12.4g} {rel:10.2%}{flag}")
-
-    print("PARITY OK" if ok else "PARITY FAILED")
-    return 0 if ok else 1
+    print("\n--- markdown (docs/PARITY.md) ---")
+    print("| variant | metric | reference mean±σ | ours mean±σ | Δmean | "
+          "tol | verdict |")
+    print("|---|---|---|---|---|---|---|")
+    for ln in md_lines:
+        print(ln)
+    print("ALL PARITY OK" if all_ok else "PARITY FAILED")
+    return 0 if all_ok else 1
 
 
 if __name__ == "__main__":
