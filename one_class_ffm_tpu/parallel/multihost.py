@@ -42,13 +42,43 @@ def make_global_data(data_host: Dict[str, Any], mesh: Mesh, axis: str = "data"):
     return out
 
 
-def make_global_state(state_host: Dict[str, Any], mesh: Mesh, axis: str = "data"):
-    """The multi-host analog of mesh.shard_state."""
+def make_global_state(
+    state_host: Dict[str, Any],
+    mesh: Mesh,
+    axis: str = "data",
+    model_min_rows: int = 0,
+    model_axis: str = "model",
+):
+    """The multi-host analog of mesh.shard_state.
+
+    ``model_min_rows`` > 0 row-shards block tables with at least that many
+    rows over ``model_axis`` — when that axis spans processes this is the
+    web-scale layout (BASELINE.json configs[4]): embedding tables too large
+    for one host live row-sharded across hosts, and XLA inserts the
+    all-gather/reduce-scatter pair over DCN for lookups and updates."""
     row = P(axis)
     rep = P()
+    big = P(model_axis, None)
+    msize = int(mesh.shape.get(model_axis, 1)) if model_min_rows else 1
+
+    def table_spec(t) -> P:
+        t = np.asarray(t)
+        if (
+            model_min_rows
+            and model_axis in mesh.axis_names
+            and t.shape[0] >= model_min_rows
+        ):
+            if t.shape[0] % msize != 0:
+                raise ValueError(
+                    f"table rows {t.shape[0]} not divisible by {model_axis} "
+                    f"axis size {msize}; use d_multiple={msize}"
+                )
+            return big
+        return rep
+
     out = dict(state_host)
     out["params"] = {
-        f12: {k: make_global(v, mesh, rep) for k, v in blk.items()}
+        f12: {k: make_global(v, mesh, table_spec(v)) for k, v in blk.items()}
         for f12, blk in state_host["params"].items()
     }
     for key in ("P", "Q"):

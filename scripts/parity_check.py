@@ -149,7 +149,8 @@ def run_pair(binary, files, flags, args, seed):
         raise RuntimeError(f"reference failed: {ref.stderr[-500:]}")
     our_cmd = [sys.executable, "-m", "one_class_ffm_tpu", item, train,
                "-p", va, *hp, "--eval-every", str(args.epochs),
-               "--seed", str(seed), "--platform", "cpu", *flags]
+               "--seed", str(seed), "--platform", "cpu",
+               "--dtype", args.our_dtype, *flags]
     ours = subprocess.run(our_cmd, capture_output=True, text=True,
                           cwd=REPO)
     if ours.returncode != 0:
@@ -178,6 +179,9 @@ def main() -> int:
     ap.add_argument("--lam", type=float, default=0.05)
     ap.add_argument("--seeds", type=int, default=5)
     ap.add_argument("--rtol", type=float, default=0.15)
+    ap.add_argument("--our-dtype", default="float32",
+                    choices=["float32", "float64", "bfloat16"],
+                    help="storage dtype for OUR trainer (bf16 quality gate)")
     ap.add_argument("--floor", type=float, default=0.25,
                     help="absolute tolerance floor on x100 metrics")
     ap.add_argument("--variants", default=("ffm-ffm,ffm-ffm--ns,fm-fm,"

@@ -14,6 +14,7 @@ jax.config.update("jax_enable_x64", True)  # match the test's fp64 reference
 pid = int(sys.argv[1])
 port = sys.argv[2]
 expected = float(sys.argv[3])
+mode = sys.argv[4] if len(sys.argv) > 4 else "dp"  # "dp" | "tp"
 
 jax.distributed.initialize(
     coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
@@ -48,8 +49,18 @@ def build():
 
 
 meta, data = build()
-mesh = make_mesh()  # spans all 4 devices across both processes
 assert jax.device_count() == 4, jax.device_count()
+if mode == "tp":
+    # 2x2 data x model mesh with the MODEL axis spanning the two processes:
+    # block tables row-shard ACROSS hosts (the web-scale layout,
+    # BASELINE.json configs[4]) and lookups/updates cross the process
+    # boundary via XLA collectives (Gloo here, DCN on real pods).
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()).reshape(2, 2).T
+    mesh = Mesh(devs, ("data", "model"))
+else:
+    mesh = make_mesh()  # 1-D data mesh over all 4 devices
 
 solver_local = FFMSolver(meta, data)
 state_host = jax.tree.map(np.asarray, solver_local.init(jax.random.key(0)))
@@ -57,13 +68,25 @@ data_host = jax.tree.map(np.asarray, data)
 
 gdata = make_global_data(data_host, mesh)
 gsolver = FFMSolver(meta, gdata)
-gstate = make_global_state(state_host, mesh)
+gstate = make_global_state(
+    state_host, mesh, model_min_rows=8 if mode == "tp" else 0
+)
+if mode == "tp":
+    sharded_tables = [
+        t for blk in gstate["params"].values() for t in blk.values()
+        if not t.sharding.is_fully_replicated
+    ]
+    assert sharded_tables, "no table sharded across the model axis"
 
 out = gsolver.epoch(gstate)
-# fingerprint over replicated params (addressable everywhere)
+# fingerprint over params; GSPMD may leave tables sharded across processes
+# (identity-field tables ride the data axis), so allgather before fetching
+from jax.experimental import multihost_utils
+
 fp = 0.0
 for f12, blk in out["params"].items():
-    fp += float(np.asarray(blk["W"]).sum()) + float(np.asarray(blk["H"]).sum())
+    fp += float(multihost_utils.process_allgather(blk["W"], tiled=True).sum())
+    fp += float(multihost_utils.process_allgather(blk["H"], tiled=True).sum())
 print(f"[{pid}] fingerprint={fp!r} expected={expected!r}", flush=True)
 assert abs(fp - expected) <= 1e-6 * max(1.0, abs(expected)), (fp, expected)
 print(f"[{pid}] MULTIHOST_OK", flush=True)

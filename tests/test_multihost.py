@@ -45,7 +45,12 @@ def _single_process_fingerprint() -> float:
     return fp
 
 
-def test_two_process_distributed_epoch():
+@pytest.mark.parametrize("mode", ["dp", "tp"])
+def test_two_process_distributed_epoch(mode):
+    """dp: rows sharded over a 1-D data mesh spanning both processes.
+    tp: 2x2 data x model mesh with block tables row-sharded ACROSS the two
+    processes (the web-scale layout, BASELINE.json configs[4]) — lookups
+    and updates cross the process boundary via collectives."""
     expected = _single_process_fingerprint()
     port = _free_port()
     env = dict(os.environ)
@@ -55,7 +60,7 @@ def test_two_process_distributed_epoch():
     worker = os.path.join(REPO, "tests", "multihost_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), str(port), repr(expected)],
+            [sys.executable, worker, str(i), str(port), repr(expected), mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
