@@ -26,7 +26,7 @@ def main() -> int:
     n_items = int(os.environ.get("BENCH_ITEMS", 20_000))
     k = int(os.environ.get("BENCH_K", 32))
     epochs = int(os.environ.get("BENCH_EPOCHS", 4))
-    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+    dtype_name = os.environ.get("BENCH_DTYPE", "auto")
 
     import jax
     import jax.numpy as jnp
@@ -53,6 +53,12 @@ def main() -> int:
     )
     layout = BlockLayout.make(du, dv, self_side=True)
     hp = HyperParams(k=k, lam=0.05, omega=0.1, r=-1.0)
+    if dtype_name == "auto":
+        # the shipped TrainConfig default: bf16 storage on TPU (quality
+        # gated by the multi-seed parity run, docs/PARITY.md), f32 on CPU
+        dtype_name = (
+            "bfloat16" if jax.default_backend() not in ("cpu",) else "float32"
+        )
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
     meta, data = make_device_data(u_pad, v_pad, y_pad, layout, hp, dtype=dtype)
     solver = FFMSolver(meta, data)
@@ -106,6 +112,7 @@ def main() -> int:
                 "value": round(eps, 1),
                 "unit": "examples/s",
                 "vs_baseline": round(vs, 3),
+                "dtype": dtype_name,
             }
         )
     )

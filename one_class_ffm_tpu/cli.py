@@ -44,8 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--freq", action="store_true",
                    help="frequency-weighted lambda")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--dtype", default="float32",
-                   choices=["float32", "float64", "bfloat16"])
+    p.add_argument("--dtype", default="auto",
+                   choices=["auto", "float32", "float64", "bfloat16"],
+                   help="storage dtype; auto = bfloat16 on TPU (1.6x faster, "
+                        "quality parity-gated), float32 elsewhere")
     p.add_argument("--eval-every", type=int, default=10)
     p.add_argument("--eval-chunk", type=int, default=1024)
     p.add_argument("--ckpt", dest="ckpt_dir", default=None,

@@ -1,0 +1,101 @@
+"""Epoch op-ablation on the real chip: what does each hot op cost?
+
+Fixes CG to exactly N iterations (cg_eps=0 -> always runs to the cap, so
+every variant executes the identical op schedule), then monkeypatches
+individual ops to return zeros and diffs epoch times.  The diff measures
+the op plus everything XLA can dead-code-eliminate exclusively feeding it
+(i.e. the op's true marginal cost).
+
+Variants: baseline, no_pos_dot, no_pos_scatter, no_pos_both, no_tbl_scatter,
+no_project.
+
+Usage: python scripts/ablate_epoch.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    n_users = int(os.environ.get("BENCH_USERS", 200_000))
+    n_items = int(os.environ.get("BENCH_ITEMS", 20_000))
+    k = int(os.environ.get("BENCH_K", 32))
+    epochs = int(os.environ.get("BENCH_EPOCHS", 2))
+    cap = int(os.environ.get("ABL_CAP", 5))
+    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+    variants = os.environ.get(
+        "ABL_VARIANTS",
+        "baseline,no_pos_dot,no_pos_scatter,no_pos_both,no_tbl_scatter,no_project",
+    ).split(",")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from one_class_ffm_tpu.data.synth import SynthSpec, build_padded
+    from one_class_ffm_tpu.models.blocks import BlockLayout
+    from one_class_ffm_tpu.solver import jax_solver as JS
+    from one_class_ffm_tpu.solver.params import HyperParams
+
+    spec = SynthSpec(
+        n_users=n_users, n_items=n_items, fu=2, fv=2,
+        dims_u=(n_users, 1000), dims_v=(n_items, 500),
+        avg_pos=5.0, seed=0,
+    )
+    (du, dv), u_pad, v_pad, y_pad = build_padded(
+        spec, dtype=np.float32, row_multiple=256
+    )
+    layout = BlockLayout.make(du, dv, self_side=True)
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+    hp = HyperParams(k=k, lam=0.05, omega=0.1, r=-1.0,
+                     cg_max_iter=cap, cg_eps=0.0)
+
+    orig = dict(pos_dot=JS.pos_dot, pos_scatter=JS.pos_scatter,
+                scatter=JS.scatter, project=JS.project)
+
+    def patch(variant):
+        JS.pos_dot = orig["pos_dot"]
+        JS.pos_scatter = orig["pos_scatter"]
+        JS.scatter = orig["scatter"]
+        JS.project = orig["project"]
+        if variant in ("no_pos_dot", "no_pos_both"):
+            JS.pos_dot = lambda A, u, B, v, **kw: jnp.zeros(
+                u.shape[0], A.dtype)
+        if variant in ("no_pos_scatter", "no_pos_both"):
+            JS.pos_scatter = lambda w, B, t, s, num, **kw: jnp.zeros(
+                (num, B.shape[1]), B.dtype)
+        if variant == "no_tbl_scatter":
+            JS.scatter = lambda i, v, Z, d: jnp.zeros((d, Z.shape[1]), Z.dtype)
+        if variant == "no_project":
+            JS.project = lambda i, v, T: jnp.zeros(
+                (i.shape[0], T.shape[1]), T.dtype)
+
+    for variant in variants:
+        patch(variant.strip())
+        meta, data = JS.make_device_data(
+            u_pad, v_pad, y_pad, layout, hp, dtype=dtype)
+        solver = JS.FFMSolver(meta, data)
+        state = solver.init(jax.random.key(0))
+        state = solver.epoch(state)
+        jax.block_until_ready(state)
+        float(jnp.sum(state["a"]))
+        t0 = time.perf_counter()
+        for _ in range(epochs):
+            state = solver.epoch(state)
+        float(jnp.sum(state["a"]))
+        dt = (time.perf_counter() - t0) / epochs
+        print(json.dumps({"variant": variant, "cap": cap,
+                          "epoch_seconds": round(dt, 4)}), flush=True)
+        del solver, state, data
+    patch("baseline")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
