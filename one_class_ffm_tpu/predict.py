@@ -165,6 +165,21 @@ def main(argv=None) -> int:
     if args.popular_from:
         pop_raw = read_data(args.popular_from, has_label=True)
         popular = pop_raw.popular
+    else:
+        # quality trap guard: featureless users rank by the popularity prior
+        # in evaluation (reference ffm.cpp:975-977) but have nothing to rank
+        # by here without one — warn rather than silently emit score-0 rows
+        u_probe = read_data(args.user_file, has_label=args.labeled,
+                            ds=list(layout.Du))
+        n_cold = int(np.sum(np.diff(u_probe.x_indptr) == 0))
+        if n_cold:
+            print(
+                f"ocffm-predict: warning: {n_cold} user row(s) have no "
+                f"(in-vocabulary) features and will score 0 for every item; "
+                f"pass --popular-from <train file> to rank them by the "
+                f"popularity prior (the evaluator's cold-user fallback)",
+                file=sys.stderr,
+            )
     ids, scores = predict_topk_from_model(
         layout, k_rank, params, args.item_file, args.user_file,
         args.top_k, catalog=args.catalog, with_scores=args.scores,

@@ -67,3 +67,27 @@ def test_predict_from_checkpoint(trained):
     # checkpoint is exact (fp64) -> should equal the trainer's ranking
     ours = tr.predict_topk(k=5)
     assert (ids == ours).mean() > 0.95
+
+
+def test_predict_warns_on_cold_users_without_popularity(trained, tmp_path,
+                                                        capsys):
+    """Cold (featureless / out-of-vocabulary) user rows without
+    --popular-from must emit a stderr warning, not silently score zero."""
+    ds, model, ck, tr = trained
+    from one_class_ffm_tpu.predict import main
+
+    users = tmp_path / "cold_users.txt"
+    # one warm user, one whose only feature is out-of-vocabulary (dropped by
+    # the ds filter -> cold)
+    users.write_text("0:0:1\n0:999999:1\n")
+    rc = main([model, ds[0], str(users), "-k", "3", "--platform", "cpu"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "1 user row(s)" in err and "--popular-from" in err
+
+    # with --popular-from: no warning, cold row ranked by popularity
+    rc = main([model, ds[0], str(users), "-k", "3", "--platform", "cpu",
+               "--popular-from", ds[1]])
+    assert rc == 0
+    out2 = capsys.readouterr()
+    assert "--popular-from" not in out2.err
