@@ -130,8 +130,68 @@ def project(idx: Array, val: Array, W: Array) -> Array:
     return project_xla(idx, val, W)
 
 
+_ONEHOT_D = int(os.environ.get("OCFFM_ONEHOT_D", 4096))
+_ONEHOT_CHUNK = int(os.environ.get("OCFFM_ONEHOT_CHUNK", 8192))
+
+
+def scatter_onehot_xla(idx: Array, val: Array, Z: Array, d: int) -> Array:
+    """G = X^T Z as chunked dense one-hot matmuls on the MXU.
+
+    For SMALL feature dims (category-style fields) the random scatter-add
+    becomes a (chunk, d) x-dense times (chunk, k) matmul accumulated over
+    row chunks: MXU work at full throughput instead of a serialized
+    scatter-add.  FLOPs m*d*k stay cheap only while d is small — the
+    dispatcher caps d at OCFFM_ONEHOT_D.  Accumulation in f32 regardless of
+    storage dtype (strictly better than segment_sum's native-dtype adds).
+    """
+    m, p = idx.shape
+    k = Z.shape[1]
+    ch = min(_ONEHOT_CHUNK, m)
+    n_chunks = -(-m // ch)
+    total = n_chunks * ch
+    if total != m:
+        idx = jnp.pad(idx, ((0, total - m), (0, 0)))
+        val = jnp.pad(val, ((0, total - m), (0, 0)))
+        Z = jnp.pad(Z, ((0, total - m), (0, 0)))
+    iota = jnp.arange(d, dtype=idx.dtype)
+    acc_t = jnp.promote_types(Z.dtype, jnp.float32)  # f32 floor, keep f64
+
+    def body(c, G):
+        i_c = jax.lax.dynamic_slice_in_dim(idx, c * ch, ch)
+        v_c = jax.lax.dynamic_slice_in_dim(val, c * ch, ch)
+        z_c = jax.lax.dynamic_slice_in_dim(Z, c * ch, ch)
+        oh = jnp.zeros((ch, d), Z.dtype)
+        for s in range(p):
+            oh = oh + jnp.where(
+                i_c[:, s, None] == iota[None, :], v_c[:, s, None], 0
+            ).astype(Z.dtype)
+        return G + jnp.dot(oh.T, z_c, preferred_element_type=acc_t)
+
+    G = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((d, k), acc_t)
+    )
+    return G.astype(Z.dtype)
+
+
+def _onehot_scatter_ok(d: int) -> bool:
+    mode = os.environ.get("OCFFM_ONEHOT", "auto").lower()
+    if mode in ("0", "off", "false"):
+        return False
+    if mode in ("1", "on", "true"):
+        return d <= _ONEHOT_D
+    # auto: MXU path on TPU only (CPU matmul loses to native scatter-add)
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:
+        on_tpu = False
+    return on_tpu and d <= _ONEHOT_D
+
+
 def scatter(idx: Array, val: Array, Z: Array, d: int) -> Array:
-    """Scatter always uses the XLA segment_sum path (measured faster)."""
+    """Dispatching scatter: one-hot MXU matmul for small dims on TPU, XLA
+    segment_sum otherwise."""
+    if _onehot_scatter_ok(d):
+        return scatter_onehot_xla(idx, val, Z, d)
     return scatter_xla(idx, val, Z, d)
 
 

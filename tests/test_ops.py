@@ -96,3 +96,21 @@ def test_solver_matches_oracle_with_tiny_chunks(rng, monkeypatch):
             np.asarray(got["params"][f12]["W"]), ref["W"][f12],
             rtol=1e-6, atol=1e-9,
         )
+
+
+def test_scatter_onehot_matches_segment_sum():
+    """The MXU one-hot scatter must equal the segment_sum path (f64 tight)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from one_class_ffm_tpu.ops.sparse_ops import scatter_onehot_xla, scatter_xla
+
+    rng = np.random.default_rng(3)
+    for m, p, d, k in [(100, 2, 17, 3), (9000, 1, 700, 8), (257, 3, 33, 4)]:
+        idx = jnp.asarray(rng.integers(0, d, (m, p)), jnp.int32)
+        val = jnp.asarray(rng.normal(size=(m, p)))
+        Z = jnp.asarray(rng.normal(size=(m, k)))
+        ref = scatter_xla(idx, val, Z, d)
+        got = scatter_onehot_xla(idx, val, Z, d)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-12)
