@@ -261,6 +261,57 @@ def pos_scatter(w: Array, B: Array, take_ids: Array, seg_ids: Array,
     return jax.lax.fori_loop(0, n_chunks, body, init)
 
 
+def pos_gram(w: Array, B: Array, take_ids: Array, seg_ids: Array,
+             num_out: int, max_chunk: int = 0,
+             seg_sorted: bool = False) -> Array:
+    """Per-row Gram cache for the CG positive pass:
+
+        M[s] += w[t] * vec( B[take_ids[t]] B[take_ids[t]]^T )   (num_out, k*k)
+
+    With M built once per block solve, the positive Hessian-vector term
+    becomes the dense batched matvec ``phi_i @ M_i`` — the per-CG-iteration
+    gather+segment pair over the COO stream disappears (the reference pays
+    it every iteration, hs_cross ffm.cpp:706-742).  This is the iALS-style
+    per-row Gram trick, exact for the same math:
+
+        sum_t w_t <phi_i, B_ot> B_ot  ==  phi_i @ M_i .
+
+    The (k, k) outer products are built directly in flattened (k*k,) lane
+    form via repeat/tile so no (chunk, k, k) intermediate is materialized
+    (trailing (k, k) dims tile-pad 4x for k=32).  For k a multiple of 16 ..
+    128, k*k is a multiple of 128, so M itself carries zero lane padding —
+    unlike every (rows, k) array in the solver.
+
+    Chunk size is scaled down by k (intermediates are k x wider than
+    pos_scatter's).  w carries the pad mask; pad seg ids == num_out drop.
+    """
+    k = B.shape[1]
+    max_chunk = max_chunk or max(1024, _NNZ_CHUNK // max(1, k))
+    nnz = w.shape[0]
+
+    def one(w_c, t_c, s_c, acc):
+        bc = B[t_c]  # (C, k)
+        outer = jnp.repeat(bc, k, axis=1) * jnp.tile(bc, (1, k))  # (C, k*k)
+        return acc + jax.ops.segment_sum(
+            w_c[:, None] * outer, s_c, num_segments=num_out,
+            indices_are_sorted=seg_sorted,
+        )
+
+    init = jnp.zeros((num_out, k * k), B.dtype)
+    if nnz <= max_chunk:
+        return one(w, take_ids, seg_ids, init)
+    n_chunks = -(-nnz // max_chunk)
+    total = n_chunks * max_chunk
+    wp = _pad_to(w, total, 0.0).reshape(n_chunks, max_chunk)
+    tp = _pad_to(take_ids, total, 0).reshape(n_chunks, max_chunk)
+    sp = _pad_to(seg_ids, total, num_out).reshape(n_chunks, max_chunk)
+
+    def body(i, acc):
+        return one(wp[i], tp[i], sp[i], acc)
+
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
 def pos_hv(phi: Array, own_ids: Array, B: Array, other_ids: Array,
            w: Array, num_out: int, max_chunk: int = 0) -> Array:
     """Fused positive-pass Hessian-vector term:

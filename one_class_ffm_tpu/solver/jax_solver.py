@@ -174,11 +174,43 @@ def make_device_data(
 # (chunk, k) intermediates — a full (nnz, k) gather OOMs at scale.
 from ..ops.sparse_ops import (  # noqa: E402
     pos_dot,
+    pos_gram,
     pos_hv,
     pos_scatter,
     project,
     scatter,
 )
+
+
+# Per-row Gram cache for the cross-block CG positive pass (see _hv_cross).
+# "auto": on whenever the (rows, k*k) cache fits the byte budget — the build
+# costs ~2 positive passes and each CG iteration then saves a full
+# gather+segment pair, so it wins from ~2-3 CG iterations up (the reference
+# caps CG at 20; fresh/mid-convergence epochs run many iterations).  "off"
+# restores the per-iteration pos_dot+pos_scatter pair (marginally cheaper in
+# the fully-converged 1-iteration regime and at row counts past the budget).
+def _hv_gram_mode() -> str:
+    import os
+
+    return os.environ.get("OCFFM_HV_GRAM", "auto").lower()
+
+
+def _hv_gram_budget() -> int:
+    import os
+
+    return int(os.environ.get("OCFFM_HV_GRAM_BUDGET", 2 << 30))
+
+
+def _use_hv_gram(num_rows: int, k: int, dtype) -> bool:
+    mode = _hv_gram_mode()
+    if mode in ("0", "off", "false"):
+        return False
+    # padded lane width: k*k rounds up to the 128-lane tile
+    lanes = -(-(k * k) // 128) * 128
+    nbytes = num_rows * lanes * jnp.dtype(dtype).itemsize
+    if mode in ("1", "on", "true"):
+        return True
+    return nbytes <= _hv_gram_budget()
 
 
 def seg_sum(data: Array, ids: Array, num: int) -> Array:
@@ -475,6 +507,30 @@ class FFMSolver:
         QTQ = Q1.T @ Q1  # pad rows are zero; full Gram == true-row Gram
         dim = (state["params"][b.f12]["W" if first else "H"]).shape[0]
         w_pos = d["pos_w"]
+
+        if _use_hv_gram(num, hp.k, meta.dtype):
+            # Per-row Gram cache: Q1 is CONSTANT for the whole CG solve, so
+            # M_i = (1-w) sum_{t: own_t=i} w_t Q1[o_t] Q1[o_t]^T  is built
+            # once and every CG iteration's positive term collapses to the
+            # dense batched matvec phi_i @ M_i — zero gathers / segment sums
+            # inside the while_loop (vs the reference's per-iteration COO
+            # pass, hs_cross ffm.cpp:706-742).  Exact same math.
+            M = pos_gram((1.0 - hp.omega) * w_pos, Q1, other, own, num,
+                         seg_sorted=first)
+            M3 = M.reshape(num, hp.k, hp.k)
+
+            def hv_gram(V: Array) -> Array:
+                phi = self._proj(b, first, V)  # (rows, k)
+                dense = hp.omega * (phi @ QTQ)
+                zp = jnp.einsum(
+                    "nk,nkl->nl", phi, M3,
+                    preferred_element_type=jnp.promote_types(
+                        meta.dtype, jnp.float32),
+                ).astype(meta.dtype)
+                return hp.lam * reg[:, None] * V + self._scat(
+                    b, first, dense + zp, dim)
+
+            return hv_gram
 
         def hv(V: Array) -> Array:
             phi = self._proj(b, first, V)  # (rows, k)

@@ -114,3 +114,53 @@ def test_scatter_onehot_matches_segment_sum():
         got = scatter_onehot_xla(idx, val, Z, d)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_pos_gram_matches_naive(rng):
+    """pos_gram == naive per-row sum of w * outer(B_t, B_t); chunked too."""
+    from one_class_ffm_tpu.ops.sparse_ops import pos_gram
+
+    m, n, k, nnz = 19, 13, 4, 97
+    B = jnp.asarray(rng.normal(size=(n, k)))
+    own = np.asarray(rng.integers(0, m, size=nnz), np.int32)
+    other = np.asarray(rng.integers(0, n, size=nnz), np.int32)
+    w = np.asarray(rng.random(nnz))
+
+    naive = np.zeros((m, k * k))
+    Bn = np.asarray(B)
+    for t in range(nnz):
+        naive[own[t]] += w[t] * np.outer(Bn[other[t]], Bn[other[t]]).ravel()
+
+    got = pos_gram(jnp.asarray(w), B, jnp.asarray(other), jnp.asarray(own),
+                   m, max_chunk=nnz + 1)
+    np.testing.assert_allclose(np.asarray(got), naive, rtol=1e-10, atol=1e-10)
+    chunked = pos_gram(jnp.asarray(w), B, jnp.asarray(other), jnp.asarray(own),
+                       m, max_chunk=16)
+    np.testing.assert_allclose(np.asarray(chunked), naive,
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_hv_gram_on_off_epochs_match(rng, monkeypatch):
+    """Epoch with the per-row Gram CG path == epoch with the COO-pass path."""
+    from conftest import make_problem, oracle_params_to_jax, to_device_problem
+    import one_class_ffm_tpu.solver.jax_solver as js
+    from one_class_ffm_tpu.solver.jax_solver import FFMSolver
+
+    prob, params = make_problem(rng)
+    meta, data = to_device_problem(prob)
+
+    outs = {}
+    for mode in ("on", "off"):
+        monkeypatch.setattr(js, "_hv_gram_mode", lambda mode=mode: mode)
+        solver = FFMSolver(meta, data)
+        state = solver.refresh_caches({"params": oracle_params_to_jax(params)})
+        for _ in range(2):
+            state = solver.epoch(state)
+        outs[mode] = jax.tree_util.tree_map(np.asarray, state["params"])
+
+    for f12 in outs["on"]:
+        for key in outs["on"][f12]:
+            np.testing.assert_allclose(
+                outs["on"][f12][key], outs["off"][f12][key],
+                rtol=1e-8, atol=1e-10,
+            )
