@@ -131,6 +131,44 @@ def cmd_show(path: str, echo=print) -> int:
     return 0
 
 
+def cmd_sync(logdir: str, branch: str, remote: str, echo=print) -> int:
+    """Commit and push the sweep-log directory to a tracking branch.
+
+    Replaces the reference's log-sync flow (script/logs.tools/sync-log.sh:1-6:
+    ``git add logs/ && commit && pull/push origin track_logs``) with the same
+    steps made safe to re-run: a clean tree commits nothing, and pull/push
+    failures (no remote configured, offline) are reported but non-fatal so a
+    local commit still lands.
+    """
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(logdir)) or "."
+
+    def git(*argv, fatal=True):
+        r = subprocess.run(["git", "-C", repo, *argv], capture_output=True,
+                           text=True)
+        if r.stdout.strip():
+            echo(r.stdout.strip())
+        if r.returncode != 0:
+            echo(r.stderr.strip())
+            if fatal:
+                raise SystemExit(r.returncode)
+        return r.returncode
+
+    git("add", os.path.basename(os.path.abspath(logdir)))
+    staged = git("diff", "--cached", "--quiet", fatal=False)
+    if staged == 0:
+        echo("sync: nothing to commit")
+    else:
+        git("commit", "-m", "Update log")
+    if git("pull", remote, branch, fatal=False) != 0:
+        echo(f"sync: pull {remote} {branch} failed (no remote?); kept local")
+        return 0
+    if git("push", remote, branch, fatal=False) != 0:
+        echo(f"sync: push {remote} {branch} failed; kept local")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ocffm-logtools")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -138,9 +176,15 @@ def main(argv=None) -> int:
     b.add_argument("logdir")
     s = sub.add_parser("show", help="parsed rows of one log")
     s.add_argument("logfile")
+    y = sub.add_parser("sync", help="commit+push a log dir to a track branch")
+    y.add_argument("logdir")
+    y.add_argument("--branch", default="track_logs")
+    y.add_argument("--remote", default="origin")
     args = ap.parse_args(argv)
     if args.cmd == "best":
         return cmd_best(args.logdir)
+    if args.cmd == "sync":
+        return cmd_sync(args.logdir, args.branch, args.remote)
     return cmd_show(args.logfile)
 
 

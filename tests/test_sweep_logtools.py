@@ -141,3 +141,41 @@ def test_parses_actual_reference_logs():
         if checked >= 5:
             break
     assert checked >= 3
+
+
+def test_logtools_sync_commits_to_local_repo(tmp_path):
+    """`logtools sync` stages+commits the log dir; missing remote is benign.
+
+    Replaces reference script/logs.tools/sync-log.sh (add/commit/pull/push).
+    """
+    import subprocess
+
+    from one_class_ffm_tpu import logtools
+
+    repo = tmp_path / "r"
+    logs = repo / "logs"
+    logs.mkdir(parents=True)
+    (logs / "a.log").write_text("iter\n")
+
+    def git(*a):
+        subprocess.run(["git", "-C", str(repo), *a], check=True,
+                       capture_output=True)
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    git("commit", "-q", "--allow-empty", "-m", "root")
+
+    out = []
+    assert logtools.cmd_sync(str(logs), "track_logs", "origin",
+                             echo=out.append) == 0
+    log = subprocess.run(["git", "-C", str(repo), "log", "--oneline"],
+                         capture_output=True, text=True).stdout
+    assert "Update log" in log
+    assert any("kept local" in line for line in out)  # no remote configured
+
+    # clean tree: second sync is a no-op, not an error
+    out2 = []
+    assert logtools.cmd_sync(str(logs), "track_logs", "origin",
+                             echo=out2.append) == 0
+    assert any("nothing to commit" in line for line in out2)
