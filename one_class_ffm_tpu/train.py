@@ -680,9 +680,17 @@ def save_checkpoint(
 ):
     os.makedirs(ckpt_dir, exist_ok=True)
     arrays = {}
+    def storable(v: np.ndarray) -> np.ndarray:
+        # np.load round-trips ml_dtypes.bfloat16 as an opaque |V2 void dtype
+        # (no cast function) — store non-native float dtypes as f32 (lossless
+        # upcast from bf16).  Native f32/f64 keep their precision.
+        if v.dtype in (np.float32, np.float64):
+            return v
+        return np.asarray(v, np.float32)
+
     for f12, blk in params.items():
-        arrays[f"W_{f12}"] = blk["W"]
-        arrays[f"H_{f12}"] = blk["H"]
+        arrays[f"W_{f12}"] = storable(blk["W"])
+        arrays[f"H_{f12}"] = storable(blk["H"])
     tmp = os.path.join(ckpt_dir, ".ckpt.tmp.npz")
     np.savez(tmp, epoch=np.int64(epoch), **arrays)
     os.replace(tmp, os.path.join(ckpt_dir, "ckpt.npz"))
@@ -704,5 +712,12 @@ def load_checkpoint(ckpt_dir: str):
         if key == "epoch":
             continue
         name, f12 = key.split("_")
-        params.setdefault(int(f12), {})[name] = z[key]
+        v = z[key]
+        if v.dtype.kind == "V" and v.dtype.itemsize == 2:
+            # legacy checkpoint written with bf16 tables: numpy loads the
+            # ml_dtypes.bfloat16 descr as an opaque 2-byte void — reinterpret
+            import ml_dtypes
+
+            v = v.view(ml_dtypes.bfloat16).astype(np.float32)
+        params.setdefault(int(f12), {})[name] = v
     return params, int(z["epoch"])

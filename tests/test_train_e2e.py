@@ -329,3 +329,28 @@ def test_profiler_trace_writes_output(dataset, tmp_path):
     assert os.path.isdir(prof)
     found = [f for _, _, fs in os.walk(prof) for f in fs]
     assert found, "profiler trace produced no files"
+
+
+def test_bfloat16_checkpoint_resume(dataset, tmp_path):
+    """bf16 trainer must npz-round-trip: stored f32 (np.load cannot cast the
+    ml_dtypes.bfloat16 descr), resumed back into bf16 tables."""
+    ck = str(tmp_path / "ckbf")
+    cfg = make_cfg(dataset, tmp_path, nr_pass=2, eval_every=2, ckpt_dir=ck,
+                   dtype="bfloat16")
+    tr = Trainer(cfg)
+    tr.init_state()
+    tr.run(log=lambda *_: None)
+    params, epoch = load_checkpoint(ck)
+    assert epoch == 2
+    for blk in params.values():
+        assert blk["W"].dtype == np.float32  # storage dtype, not |V2
+
+    cfg2 = make_cfg(dataset, tmp_path, nr_pass=4, eval_every=2, ckpt_dir=ck,
+                    dtype="bfloat16", resume=True)
+    tr2 = Trainer(cfg2)
+    tr2.init_state()
+    assert tr2.epoch_idx == 2
+    tr2.run(log=lambda *_: None)
+    assert tr2.epoch_idx == 4
+    for blk in tr2.params_numpy().values():
+        assert np.isfinite(np.asarray(blk["W"], np.float32)).all()
