@@ -52,7 +52,8 @@ def main() -> int:
         spec, dtype=np.float32, row_multiple=256
     )
     layout = BlockLayout.make(du, dv, self_side=True)
-    hp = HyperParams(k=k, lam=0.05, omega=0.1, r=-1.0)
+    hp = HyperParams(k=k, lam=0.05, omega=0.1, r=-1.0,
+                     cg_precond=os.environ.get("BENCH_CG_PRECOND", "auto"))
     if dtype_name == "auto":
         # the shipped TrainConfig default: bf16 storage on TPU (quality
         # gated by the multi-seed parity run, docs/PARITY.md), f32 on CPU

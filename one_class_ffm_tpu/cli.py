@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "items (catalog-sharded top-K merge; scales to "
                         "catalogs the dense path cannot hold). auto picks "
                         "items for large catalogs")
+    p.add_argument("--cg-precond", dest="cg_precond", default="auto",
+                   choices=["auto", "jacobi", "none"],
+                   help="CG flavor: auto (jacobi for f32/f64, none for "
+                        "bf16 — fastest per dtype), jacobi (diagonal-"
+                        "preconditioned, same stop rule), none (reference-"
+                        "exact plain CG, ffm.cpp:744-813)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() from env "
                         "(JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
@@ -125,6 +131,7 @@ def config_from_args(args) -> TrainConfig:
         model_min_rows=args.model_min_rows,
         distributed=args.distributed,
         eval_shard=args.eval_shard,
+        cg_precond=args.cg_precond,
     )
 
 

@@ -174,43 +174,24 @@ def make_device_data(
 # (chunk, k) intermediates — a full (nnz, k) gather OOMs at scale.
 from ..ops.sparse_ops import (  # noqa: E402
     pos_dot,
-    pos_gram,
     pos_hv,
     pos_scatter,
+    pos_scatter_pair,
     project,
     scatter,
 )
 
 
-# Per-row Gram cache for the cross-block CG positive pass (see _hv_cross).
-# "auto": on whenever the (rows, k*k) cache fits the byte budget — the build
-# costs ~2 positive passes and each CG iteration then saves a full
-# gather+segment pair, so it wins from ~2-3 CG iterations up (the reference
-# caps CG at 20; fresh/mid-convergence epochs run many iterations).  "off"
-# restores the per-iteration pos_dot+pos_scatter pair (marginally cheaper in
-# the fully-converged 1-iteration regime and at row counts past the budget).
-def _hv_gram_mode() -> str:
-    import os
-
-    return os.environ.get("OCFFM_HV_GRAM", "auto").lower()
-
-
-def _hv_gram_budget() -> int:
-    import os
-
-    return int(os.environ.get("OCFFM_HV_GRAM_BUDGET", 2 << 30))
-
-
-def _use_hv_gram(num_rows: int, k: int, dtype) -> bool:
-    mode = _hv_gram_mode()
-    if mode in ("0", "off", "false"):
-        return False
-    # padded lane width: k*k rounds up to the 128-lane tile
-    lanes = -(-(k * k) // 128) * 128
-    nbytes = num_rows * lanes * jnp.dtype(dtype).itemsize
-    if mode in ("1", "on", "true"):
-        return True
-    return nbytes <= _hv_gram_budget()
+# Per-row Gram cache for the cross-block CG positive pass: a measured
+# NEGATIVE result, not used by the solver (see docs/PERF.md and
+# scripts/gram_micro.py).  The idea — build M_i = (1-w) sum w_t Q[o_t]Q[o_t]^T
+# once per solve so each CG iteration's positive term becomes a per-row k x k
+# matvec with zero gathers — is exact, but on a v5e: the cache build costs
+# ~7 pair-passes (110 ms vs 15.8 ms at bench shapes), and BOTH matvec
+# lowerings are hostile to this TPU stack (the (n,k)x(n,k,k) batched-dot
+# einsum did not finish compiling in 30 min; the flat unrolled-slice form
+# compiled but measured epoch-level losses: 157k vs 201k ex/s).  The
+# per-iteration COO pair stays; the `pos_gram` op remains for reproduction.
 
 
 def seg_sum(data: Array, ids: Array, num: int) -> Array:
@@ -235,6 +216,16 @@ class FFMSolver:
         self.meta = meta
         self.data = data
         self.blocks: List[BlockInfo] = meta.layout.all_blocks()
+        # "auto" resolves per storage dtype: Jacobi PCG measured 1.48x
+        # faster at f32 (fused diag build, fewer iterations) but SLOWER at
+        # bf16, where bf16 Hessian arithmetic defeats the preconditioner
+        # (solves stall to the iteration cap; docs/PERF.md, scripts/
+        # cg_iters.py).  Explicit "jacobi"/"none" override the heuristic.
+        self.cg_precond = meta.hp.cg_precond
+        if self.cg_precond == "auto":
+            self.cg_precond = (
+                "none" if meta.dtype == jnp.bfloat16 else "jacobi"
+            )
         # donate the carried state: P/Q/a/b/yt buffers are dead after the
         # epoch returns their successors (no-op on backends without donation)
         self._epoch = jax.jit(self._epoch_entry, donate_argnums=(0,))
@@ -425,18 +416,25 @@ class FFMSolver:
             b, first, z[:, None] * Q1, T.shape[0]
         )
 
-    def _grad_cross(self, state, b: BlockInfo, first: bool) -> Array:
+    def _grad_cross(self, state, b: BlockInfo, first: bool,
+                    with_diag_pos: bool = False):
         """Gradient for one table of a cross block (gd_cross, ffm.cpp:630-703).
 
         omega part via k x k Grams: T = sum_c P_c (Q_c^T Q1), oQ = Q1^T 1,
         bQ = Q1^T b  (ffm.cpp:658-670); positive part via segment_sum.
-        """
+
+        ``with_diag_pos``: also return the Jacobi diagonal's positive term
+        (sum_t (1-w) w_t Q1[o_t]^2 per row) from the SAME gather — one
+        fused (chunk, 2k) pass instead of two positive passes
+        (ops.pos_scatter_pair); per-column add order is identical, so the
+        gradient is bit-equal to the unfused path."""
         meta, d = self.meta, self.data
         hp = meta.hp
         f12 = b.f12
         i1, v1, reg, rows = self._side_arrays(b, first)
         T = state["params"][f12]["W" if first else "H"]
         c = self._pos_coeff(state["yt"]) * d["pos_w"]
+        wq = (1.0 - hp.omega) * d["pos_w"]
         if first:
             Q1 = state["Q"][f12]  # (n, k)
             oQ = jnp.sum(Q1, axis=0)
@@ -448,7 +446,12 @@ class FFMSolver:
             dense = hp.omega * (
                 (state["a"] - hp.r)[:, None] * oQ[None, :] + bQ[None, :] + gram_T
             )
-            zpos = pos_scatter(c, Q1, d["pos_v"], d["pos_u"], meta.m, seg_sorted=True)
+            if with_diag_pos:
+                zpos, posq = pos_scatter_pair(
+                    c, wq, Q1, d["pos_v"], d["pos_u"], meta.m, seg_sorted=True)
+            else:
+                zpos = pos_scatter(c, Q1, d["pos_v"], d["pos_u"], meta.m,
+                                   seg_sorted=True)
         else:
             P1 = state["P"][f12]  # (m, k)
             oQ = jnp.sum(P1, axis=0)
@@ -460,9 +463,16 @@ class FFMSolver:
             dense = hp.omega * (
                 (state["b"] - hp.r)[:, None] * oQ[None, :] + bQ[None, :] + gram_T
             )
-            zpos = pos_scatter(c, P1, d["pos_u"], d["pos_v"], meta.n)
+            if with_diag_pos:
+                zpos, posq = pos_scatter_pair(
+                    c, wq, P1, d["pos_u"], d["pos_v"], meta.n)
+            else:
+                zpos = pos_scatter(c, P1, d["pos_u"], d["pos_v"], meta.n)
         Z = dense + zpos
-        return hp.lam * reg[:, None] * T + self._scat(b, first, Z, T.shape[0])
+        G = hp.lam * reg[:, None] * T + self._scat(b, first, Z, T.shape[0])
+        if with_diag_pos:
+            return G, posq
+        return G
 
     # -- Hessian-vector products ---------------------------------------------
 
@@ -508,30 +518,6 @@ class FFMSolver:
         dim = (state["params"][b.f12]["W" if first else "H"]).shape[0]
         w_pos = d["pos_w"]
 
-        if _use_hv_gram(num, hp.k, meta.dtype):
-            # Per-row Gram cache: Q1 is CONSTANT for the whole CG solve, so
-            # M_i = (1-w) sum_{t: own_t=i} w_t Q1[o_t] Q1[o_t]^T  is built
-            # once and every CG iteration's positive term collapses to the
-            # dense batched matvec phi_i @ M_i — zero gathers / segment sums
-            # inside the while_loop (vs the reference's per-iteration COO
-            # pass, hs_cross ffm.cpp:706-742).  Exact same math.
-            M = pos_gram((1.0 - hp.omega) * w_pos, Q1, other, own, num,
-                         seg_sorted=first)
-            M3 = M.reshape(num, hp.k, hp.k)
-
-            def hv_gram(V: Array) -> Array:
-                phi = self._proj(b, first, V)  # (rows, k)
-                dense = hp.omega * (phi @ QTQ)
-                zp = jnp.einsum(
-                    "nk,nkl->nl", phi, M3,
-                    preferred_element_type=jnp.promote_types(
-                        meta.dtype, jnp.float32),
-                ).astype(meta.dtype)
-                return hp.lam * reg[:, None] * V + self._scat(
-                    b, first, dense + zp, dim)
-
-            return hv_gram
-
         def hv(V: Array) -> Array:
             phi = self._proj(b, first, V)  # (rows, k)
             dense = hp.omega * (phi @ QTQ)
@@ -545,32 +531,107 @@ class FFMSolver:
 
         return hv
 
+    # -- Jacobi preconditioner ------------------------------------------------
+
+    def _scat_sq(self, b: BlockInfo, first: bool, Z: Array, dim: int) -> Array:
+        """(X_side^2)^T @ Z — the squared-feature scatter the Hessian
+        diagonal needs.  Identity fields: X^2 == X, reuse the slice path."""
+        ident, _, _ = self._side_ident(b, first)
+        if ident and dim <= Z.shape[0]:
+            return self._scat(b, first, Z, dim)
+        i1, v1, _, _ = self._side_arrays(b, first)
+        return scatter(i1, v1 * v1, Z, dim)
+
+    def _diag_H(self, state, b: BlockInfo, first: bool, posq=None):
+        """Exact diagonal of the block-table Hessian (oracle: diag_hessian):
+
+          cross:  D[d,l] = lam reg[d] + sum_ij Wq_ij X1[i,d]^2 Q1[j,l]^2
+                         = lam reg + X1s^T [ w diag(Q1^T Q1)
+                                             + (1-w) pos-scatter of Q1^2 ]
+          self :  D[d,l] = lam reg[d] + X1s^T (dd_i Q1[i,l]^2)
+
+        ``posq``: the cross positive term precomputed by the gradient's
+        fused pass (_grad_cross with_diag_pos) — the diag then costs no COO
+        pass of its own, which is what makes the preconditioner pay for
+        itself at every dtype."""
+        meta, d = self.meta, self.data
+        hp = meta.hp
+        if self.cg_precond != "jacobi":
+            return None
+        i1, v1, reg, rows = self._side_arrays(b, first)
+        Q1 = state["Q"][b.f12] if first else state["P"][b.f12]
+        dim = (state["params"][b.f12]["W" if first else "H"]).shape[0]
+        if b.kind == "uv":
+            own = d["pos_u"] if first else d["pos_v"]
+            other = d["pos_v"] if first else d["pos_u"]
+            num = meta.m if first else meta.n
+            qtq_d = jnp.sum(Q1 * Q1, axis=0)  # pad rows are zero
+            if posq is None:
+                posq = pos_scatter(
+                    (1.0 - hp.omega) * d["pos_w"], Q1 * Q1, other, own, num,
+                    seg_sorted=first,
+                )
+            rowq = hp.omega * qtq_d[None, :] + posq
+        else:
+            if b.kind == "uu":
+                dd = (1.0 - hp.omega) * d["cnt_u"] + hp.omega * meta.n_true
+            else:
+                dd = (1.0 - hp.omega) * d["cnt_v"] + hp.omega * meta.m_true
+            rowq = dd[:, None] * (Q1 * Q1)
+        D = hp.lam * reg[:, None] + self._scat_sq(b, first, rowq, dim)
+        # pad table rows have D == 0 and R == 0; clamp so R/D stays 0 not NaN
+        return jnp.maximum(D, jnp.asarray(1e-12, D.dtype))
+
     # -- conjugate gradient ---------------------------------------------------
 
-    def _cg(self, hv, G: Array) -> Array:
+    def _cg(self, hv, G: Array, D: Array | None = None) -> Array:
         """Newton-step CG (cg, ffm.cpp:744-813): S = argmin quadratic; stop
-        when ||r||^2 <= cg_eps ||g||^2 or after cg_max_iter iterations."""
+        when ||r||^2 <= cg_eps ||g||^2 or after cg_max_iter iterations.
+
+        With ``D``: Jacobi-preconditioned CG on the same system with the
+        same TRUE-residual stop rule — only the search directions change
+        (measured ~1.6x fewer iterations, and capped solves land closer to
+        the exact Newton step).  Mirrored exactly by the fp64 oracle.
+
+        Mixed precision: the CG recurrence (S/R/V vectors, alpha/beta/r2
+        scalars) runs at an f32 floor even under bf16 storage — bf16's
+        8-bit mantissa stalls the residual recurrence so solves burn to the
+        iteration cap instead of converging.  Only the Hv evaluation (the
+        bandwidth-bound positive passes) stays in storage dtype.  No-op for
+        f32/f64 problems."""
         hp = self.meta.hp
-        g2 = jnp.sum(G * G)
+        storage = G.dtype
+        ct = jnp.promote_types(storage, jnp.float32)  # f32 floor, keeps f64
+        Gc = G.astype(ct)
+        Dc = None if D is None else D.astype(ct)
+        g2 = jnp.sum(Gc * Gc)
 
         def cond(carry):
-            S, R, V, r2, it = carry
+            S, R, V, r2, rz, it = carry
             return jnp.logical_and(r2 > hp.cg_eps * g2, it < hp.cg_max_iter)
 
         def body(carry):
-            S, R, V, r2, it = carry
-            Hv = hv(V)
-            alpha = r2 / jnp.sum(V * Hv)
+            S, R, V, r2, rz, it = carry
+            Hv = hv(V.astype(storage)).astype(ct)
+            alpha = rz / jnp.sum(V * Hv)
             S = S + alpha * V
             R = R - alpha * Hv
             r2_new = jnp.sum(R * R)
-            V = R + (r2_new / r2) * V
-            return S, R, V, r2_new, it + 1
+            if Dc is None:
+                rz_new = r2_new
+                V = R + (rz_new / rz) * V
+            else:
+                Z = R / Dc
+                rz_new = jnp.sum(R * Z)
+                V = Z + (rz_new / rz) * V
+            return S, R, V, r2_new, rz_new, it + 1
 
-        S0 = jnp.zeros_like(G)
-        init = (S0, -G, -G, g2, jnp.asarray(0, jnp.int32))
-        S, *_ = jax.lax.while_loop(cond, body, init)
-        return S
+        S0 = jnp.zeros_like(Gc)
+        V0 = -Gc if Dc is None else -Gc / Dc
+        rz0 = g2 if Dc is None else jnp.sum(Gc * (Gc / Dc))
+        init = (S0, -Gc, V0, g2, rz0, jnp.asarray(0, jnp.int32))
+        S, _, _, _, _, it = jax.lax.while_loop(cond, body, init)
+        return S.astype(storage), it
 
     # -- block updates (incremental cache refresh) ----------------------------
 
@@ -613,14 +674,20 @@ class FFMSolver:
     # -- per-block solve ------------------------------------------------------
 
     def _solve_half(self, state, b: BlockInfo, first: bool, sa, sb):
+        jac = self.cg_precond == "jacobi"
+        posq = None
         if b.kind == "uv":
-            G = self._grad_cross(state, b, first)
+            if jac:
+                G, posq = self._grad_cross(state, b, first,
+                                           with_diag_pos=True)
+            else:
+                G = self._grad_cross(state, b, first)
             hv = self._hv_cross(state, b, first)
         else:
             G = self._grad_self(state, b, first, sa, sb)
             hv = self._hv_self(state, b, first)
-        S = self._cg(hv, G)
-        return self._apply_step(state, b, first, S)
+        S, it = self._cg(hv, G, self._diag_H(state, b, first, posq))
+        return self._apply_step(state, b, first, S), it
 
     # -- epoch ----------------------------------------------------------------
 
@@ -633,10 +700,12 @@ class FFMSolver:
         end, ffm.cpp:869 — refreshing at epoch start is identical since only
         self-block gradients read them and cross updates happen after)."""
         sa, sb = self._cache_sasb(state["P"], state["Q"])
+        iters = []
         for b in self.meta.layout.epoch_order():
-            state = self._solve_half(state, b, True, sa, sb)
-            state = self._solve_half(state, b, False, sa, sb)
-        return state
+            state, it1 = self._solve_half(state, b, True, sa, sb)
+            state, it2 = self._solve_half(state, b, False, sa, sb)
+            iters.extend((it1, it2))
+        return state, jnp.stack(iters)
 
     def _epoch_entry(self, state: Dict[str, Any], data: Dict[str, Any]):
         """Jit entry point: the problem arrays are runtime arguments (not
@@ -650,6 +719,12 @@ class FFMSolver:
             self.data = prev
 
     def epoch(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        return self._epoch(state, self.data)[0]
+
+    def epoch_stats(self, state):
+        """(new_state, per-solve CG iteration counts) — one extra compiled
+        program; the counts vector follows epoch_order() with the f1 then f2
+        half of each block adjacent.  Diagnostics only (profiling, A/Bs)."""
         return self._epoch(state, self.data)
 
     # -- diagnostics ----------------------------------------------------------
@@ -698,12 +773,13 @@ class FFMSolver:
         sum_b = jnp.sum(bt)
         e2 = n * jnp.sum(alpha**2) + m * jnp.sum(bt**2)
         e2 = e2 + 2.0 * sum_alpha * sum_b
-        # sum_ij s_ij^2 = sum_{c,c'} <P_c^T P_c', Q_c^T Q_c'>
-        for c1 in cross_blocks:
-            for c2 in cross_blocks:
-                PG = P[c1.f12][:m].T @ P[c2.f12][:m]
-                QG = Q[c1.f12][:n].T @ Q[c2.f12][:n]
-                e2 = e2 + jnp.sum(PG * QG)
+        # sum_ij s_ij^2 = sum_{c,c'} <P_c^T P_c', Q_c^T Q_c'>: the (c, c')
+        # block structure of the concatenated Grams covers every pair in two
+        # (m, C*k) matmuls — one MXU call each instead of C^2 k x k grams
+        # (and C*k hits the 128-lane tile exactly at C=4, k=32).
+        Pcat = jnp.concatenate([P[c.f12][:m] for c in cross_blocks], axis=1)
+        Qcat = jnp.concatenate([Q[c.f12][:n] for c in cross_blocks], axis=1)
+        e2 = e2 + jnp.sum((Pcat.T @ Pcat) * (Qcat.T @ Qcat))
         # 2 sum_ij alpha_i s_ij + 2 sum_ij b_j s_ij
         for c in cross_blocks:
             e2 = e2 + 2.0 * (alpha @ (P[c.f12][:m] @ sumQ[c.f12]))

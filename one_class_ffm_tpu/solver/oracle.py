@@ -124,26 +124,69 @@ def _W_matrix(prob: OracleProblem) -> Arr:
     return np.where(prob.pos, 1.0, prob.hp.omega)
 
 
-def _cg(grad_fn_hv, G: Arr, hp: HyperParams) -> Arr:
+def _cg(grad_fn_hv, G: Arr, hp: HyperParams, D: Optional[Arr] = None) -> Arr:
     """Reference CG loop (ffm.cpp:744-813): S=0, R=-G, V=R; fixed relative
-    tolerance and iteration cap; returns the Newton step S."""
+    tolerance and iteration cap; returns the Newton step S.
+
+    With ``D`` (Jacobi preconditioner, hp.cg_precond == "jacobi"): standard
+    PCG on the SAME linear system with the SAME stop rule (true residual
+    against ||g||^2) — only the Krylov directions change, cutting iteration
+    counts ~1.6x and landing capped solves closer to the true Newton step."""
     S = np.zeros_like(G)
     R = -G
-    V = R.copy()
     g2 = float((G * G).sum())
     r2 = g2
+    if D is None:
+        V = R.copy()
+        rz = r2
+    else:
+        Z = R / D
+        V = Z.copy()
+        rz = float((R * Z).sum())
     it = 0
     while r2 > hp.cg_eps * g2 and it < hp.cg_max_iter:
         it += 1
         Hv = grad_fn_hv(V)
-        gamma = r2
-        alpha = gamma / float((V * Hv).sum())
+        alpha = rz / float((V * Hv).sum())
         S += alpha * V
         R -= alpha * Hv
         r2 = float((R * R).sum())
-        beta = r2 / gamma
-        V = R + beta * V
+        if D is None:
+            rz_new = r2
+            V = R + (rz_new / rz) * V
+        else:
+            Z = R / D
+            rz_new = float((R * Z).sum())
+            V = Z + (rz_new / rz) * V
+        rz = rz_new
     return S
+
+
+def diag_hessian(prob: OracleProblem, params, b: BlockInfo,
+                 first_side: bool) -> Arr:
+    """Exact diagonal of the block-table Hessian, brute-force from dense
+    matrices (the quadratic model behind grad_and_hv):
+
+      cross:  D[d,l] = lam rw[d] + sum_ij Wq_ij X1[i,d]^2 Q1[j,l]^2
+      self :  D[d,l] = lam rw[d] + sum_i  dd_i  X1[i,d]^2 Q1[i,l]^2
+    """
+    hp = prob.hp
+    X1 = prob.side_X(b, first_side)
+    rw = _reg_weights(prob, b, first_side)
+    Wq = _W_matrix(prob)
+    if b.kind in ("uu", "vv"):
+        other = params["H"][b.f12] if first_side else params["W"][b.f12]
+        Q1 = prob.side_X(b, not first_side) @ other
+        dd = Wq.sum(axis=1) if b.kind == "uu" else Wq.sum(axis=0)
+        D = hp.lam * rw[:, None] + (X1**2).T @ (dd[:, None] * Q1**2)
+    else:
+        if first_side:
+            Q1 = prob.side_X(b, False) @ params["H"][b.f12]  # (n, k)
+            D = hp.lam * rw[:, None] + (X1**2).T @ (Wq @ Q1**2)
+        else:
+            P1 = prob.side_X(b, True) @ params["W"][b.f12]  # (m, k)
+            D = hp.lam * rw[:, None] + (X1**2).T @ (Wq.T @ P1**2)
+    return np.maximum(D, 1e-300)
 
 
 def grad_and_hv(prob: OracleProblem, params, b: BlockInfo, first_side: bool):
@@ -207,7 +250,10 @@ def solve_block_half(
     table of block ``b``, against the *current* params.  Returns the step S
     (does not apply it)."""
     G, hv = grad_and_hv(prob, params, b, first_side)
-    return _cg(hv, G, prob.hp)
+    # oracle is fp64: "auto" resolves to jacobi (solver rule for f32/f64)
+    D = (diag_hessian(prob, params, b, first_side)
+         if prob.hp.cg_precond in ("jacobi", "auto") else None)
+    return _cg(hv, G, prob.hp, D)
 
 
 def oracle_epoch(prob: OracleProblem, params) -> Dict[str, Dict[int, Arr]]:

@@ -16,3 +16,10 @@ class HyperParams:
     freq: bool = False  # --freq: frequency-weighted lambda
     cg_max_iter: int = 20  # CG iteration cap (ffm.cpp:761)
     cg_eps: float = 9e-2  # relative CG tolerance ||r||^2 <= eps*||g||^2
+    # "jacobi": diagonal-preconditioned CG — same linear system, same stop
+    # rule (true residual vs ||g||^2), fewer iterations and capped solves
+    # land closer to the true Newton step.  "none": the reference's plain
+    # CG (ffm.cpp:744-813).  "auto" (default): jacobi for f32/f64 storage
+    # (measured 1.48x faster), none for bf16 (bf16 Hessian arithmetic
+    # defeats the preconditioner; docs/PERF.md).
+    cg_precond: str = "auto"

@@ -79,6 +79,10 @@ class TrainConfig:
     # the catalog exceeds eval_item_threshold)
     eval_shard: str = "auto"
     eval_item_threshold: int = 1 << 18
+    # CG flavor: "auto" (jacobi for f32/f64 storage, none for bf16 — the
+    # measured-fastest per dtype), "jacobi", or "none" (reference-exact
+    # plain CG)
+    cg_precond: str = "auto"
 
     def hyper(self) -> HyperParams:
         return HyperParams(
@@ -89,6 +93,7 @@ class TrainConfig:
             nr_pass=self.nr_pass,
             self_side=self.self_side,
             freq=self.freq,
+            cg_precond=self.cg_precond,
         )
 
 

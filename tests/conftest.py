@@ -51,6 +51,7 @@ def make_problem(
     r=-1.0,
     max_nnz=2,
     density=0.3,
+    cg_precond="jacobi",
 ):
     """Random tiny OracleProblem + matching random params."""
     Xu = [random_sparse_dense(rng, m, d, max_nnz) for d in Du]
@@ -61,7 +62,8 @@ def make_problem(
         if not pos[i].any():
             pos[i, rng.integers(n)] = True
     layout = BlockLayout.make(Du, Dv, self_side)
-    hp = HyperParams(k=3, lam=lam, omega=omega, r=r, freq=freq)
+    hp = HyperParams(k=3, lam=lam, omega=omega, r=r, freq=freq,
+                     cg_precond=cg_precond)
     freq_u = [X.astype(bool).sum(axis=0).astype(np.float64) for X in Xu]
     freq_v = [X.astype(bool).sum(axis=0).astype(np.float64) for X in Xv]
     prob = OracleProblem(

@@ -31,6 +31,7 @@ CONFIGS = [
     dict(Du=(7,), Dv=(6,)),  # fm-like: one field per side
     dict(Du=(7,), Dv=(6,), self_side=False),  # mf-like
     dict(omega=1.0, r=0.0),  # degenerate: uniform weights
+    dict(cg_precond="none"),  # reference-exact plain CG (ffm.cpp:744-813)
 ]
 
 
@@ -251,3 +252,59 @@ def test_identity_shortcut_with_padded_tables(rng):
             got = np.asarray(st_id["params"][f12][name])
             ref = np.asarray(st_gen["params"][f12][name])
             np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.parametrize("cfg", [dict(), dict(self_side=False), dict(freq=True)])
+def test_diag_hessian_matches_numeric(rng, cfg):
+    """Oracle diag_hessian == diagonal extracted from the hv operator."""
+    prob, params, solver, state = build(rng, **cfg)
+    for b in prob.layout.all_blocks():
+        for first in (True, False):
+            _, hv = oracle.grad_and_hv(prob, params, b, first)
+            D = oracle.diag_hessian(prob, params, b, first)
+            dim, k = D.shape
+            num = np.zeros_like(D)
+            for di in range(dim):
+                for l in range(k):
+                    E = np.zeros((dim, k))
+                    E[di, l] = 1.0
+                    num[di, l] = hv(E)[di, l]
+            np.testing.assert_allclose(
+                D, num, rtol=1e-9, atol=1e-12,
+                err_msg=f"block {b} first={first}",
+            )
+
+
+@pytest.mark.parametrize("cfg", [dict(), dict(self_side=False), dict(freq=True)])
+@pytest.mark.parametrize("row_pad", [0, 3])
+def test_solver_diag_matches_oracle(rng, cfg, row_pad):
+    """JAX _diag_H (sparse/COO path) == oracle brute-force diagonal."""
+    prob, params, solver, state = build(rng, row_pad=row_pad, **cfg)
+    for b in prob.layout.all_blocks():
+        for first in (True, False):
+            D_ref = oracle.diag_hessian(prob, params, b, first)
+            D = np.asarray(solver._diag_H(state, b, first))[: D_ref.shape[0]]
+            np.testing.assert_allclose(
+                D, D_ref, rtol=1e-8, atol=1e-10,
+                err_msg=f"block {b} first={first}",
+            )
+
+
+def test_cg_precond_auto_resolution(rng):
+    """auto -> jacobi for f32/f64 storage, none for bf16 (measured per-dtype
+    winners, docs/PERF.md)."""
+    import jax.numpy as jnp
+
+    from conftest import make_problem, to_device_problem
+    from one_class_ffm_tpu.solver.jax_solver import (
+        FFMSolver, make_device_data,
+    )
+
+    prob, params = make_problem(rng, cg_precond="auto")
+    meta, data = to_device_problem(prob)
+    assert FFMSolver(meta, data).cg_precond == "jacobi"  # f64 test problem
+
+    import dataclasses
+
+    meta_bf16 = dataclasses.replace(meta, dtype=jnp.bfloat16)
+    assert FFMSolver(meta_bf16, data).cg_precond == "none"

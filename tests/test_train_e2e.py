@@ -354,3 +354,22 @@ def test_bfloat16_checkpoint_resume(dataset, tmp_path):
     assert tr2.epoch_idx == 4
     for blk in tr2.params_numpy().values():
         assert np.isfinite(np.asarray(blk["W"], np.float32)).all()
+
+
+def test_cg_precond_flag_and_none_path(dataset, tmp_path):
+    """--cg-precond maps into TrainConfig; 'none' (reference-exact plain CG)
+    trains fine end-to-end."""
+    from one_class_ffm_tpu.cli import build_parser, config_from_args
+
+    item, train, va = dataset
+    args = build_parser().parse_args([item, train, "--cg-precond", "none"])
+    assert config_from_args(args).cg_precond == "none"
+    assert config_from_args(
+        build_parser().parse_args([item, train])).cg_precond == "auto"
+
+    cfg = make_cfg(dataset, tmp_path, nr_pass=2, eval_every=2,
+                   cg_precond="none", dtype="float32")
+    tr = Trainer(cfg)
+    tr.init_state()
+    m = tr.run(log=lambda *_: None)
+    assert m and m["ploss"] == m["ploss"]
