@@ -261,6 +261,52 @@ def pos_scatter(w: Array, B: Array, take_ids: Array, seg_ids: Array,
     return jax.lax.fori_loop(0, n_chunks, body, init)
 
 
+def pos_scatter_pair(w_a: Array, w_b: Array, B: Array, take_ids: Array,
+                     seg_ids: Array, num_out: int, max_chunk: int = 0,
+                     seg_sorted: bool = False) -> tuple:
+    """Two positive-pass scatters sharing ONE gather of B's rows:
+
+        A[s] += w_a[t] * B[take_ids[t]]          (the gradient's pos term)
+        Bq[s] += w_b[t] * B[take_ids[t]]**2      (the Jacobi diag's pos term)
+
+    The random row gather is the expensive half of a positive pass; the two
+    payloads are concatenated to (chunk, 2k) and segment-summed in one op —
+    for k <= 64 that widens the scatter write into lanes the k-padded tile
+    already occupies, so the second scatter is nearly free.  This is what
+    makes the diagonal preconditioner's build cost ~vanish for cross blocks
+    (solver._solve_half).
+    """
+    max_chunk = max_chunk or _NNZ_CHUNK
+    nnz = w_a.shape[0]
+    k = B.shape[1]
+
+    def one(wa_c, wb_c, t_c, s_c):
+        rows = B[t_c]  # ONE gather feeding both payloads
+        payload = jnp.concatenate(
+            [wa_c[:, None] * rows, wb_c[:, None] * rows * rows], axis=1
+        )
+        return jax.ops.segment_sum(
+            payload, s_c, num_segments=num_out, indices_are_sorted=seg_sorted
+        )
+
+    if nnz <= max_chunk:
+        out = one(w_a, w_b, take_ids, seg_ids)
+        return out[:, :k], out[:, k:]
+    n_chunks = -(-nnz // max_chunk)
+    total = n_chunks * max_chunk
+    wap = _pad_to(w_a, total, 0.0).reshape(n_chunks, max_chunk)
+    wbp = _pad_to(w_b, total, 0.0).reshape(n_chunks, max_chunk)
+    tp = _pad_to(take_ids, total, 0).reshape(n_chunks, max_chunk)
+    sp = _pad_to(seg_ids, total, num_out).reshape(n_chunks, max_chunk)
+
+    def body(i, acc):
+        return acc + one(wap[i], wbp[i], tp[i], sp[i])
+
+    init = jnp.zeros((num_out, 2 * k), B.dtype)
+    out = jax.lax.fori_loop(0, n_chunks, body, init)
+    return out[:, :k], out[:, k:]
+
+
 def pos_gram(w: Array, B: Array, take_ids: Array, seg_ids: Array,
              num_out: int, max_chunk: int = 0,
              seg_sorted: bool = False) -> Array:
@@ -284,6 +330,11 @@ def pos_gram(w: Array, B: Array, take_ids: Array, seg_ids: Array,
 
     Chunk size is scaled down by k (intermediates are k x wider than
     pos_scatter's).  w carries the pad mask; pad seg ids == num_out drop.
+
+    STATUS: measured negative for the solver on a v5e (docs/PERF.md,
+    scripts/gram_micro.py): the build costs ~7 pair-passes and both matvec
+    lowerings (batched-dot einsum, flat unrolled slices) are hostile to the
+    TPU stack.  Kept as a tested op for reproduction / future k >= 128 use.
     """
     k = B.shape[1]
     max_chunk = max_chunk or max(1024, _NNZ_CHUNK // max(1, k))

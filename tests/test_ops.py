@@ -140,27 +140,24 @@ def test_pos_gram_matches_naive(rng):
                                rtol=1e-10, atol=1e-10)
 
 
-def test_hv_gram_on_off_epochs_match(rng, monkeypatch):
-    """Epoch with the per-row Gram CG path == epoch with the COO-pass path."""
-    from conftest import make_problem, oracle_params_to_jax, to_device_problem
-    import one_class_ffm_tpu.solver.jax_solver as js
-    from one_class_ffm_tpu.solver.jax_solver import FFMSolver
 
-    prob, params = make_problem(rng)
-    meta, data = to_device_problem(prob)
+def test_pos_scatter_pair_matches_two_scatters(rng):
+    """Fused (chunk, 2k) pass == two independent pos_scatter calls."""
+    from one_class_ffm_tpu.ops.sparse_ops import pos_scatter, pos_scatter_pair
 
-    outs = {}
-    for mode in ("on", "off"):
-        monkeypatch.setattr(js, "_hv_gram_mode", lambda mode=mode: mode)
-        solver = FFMSolver(meta, data)
-        state = solver.refresh_caches({"params": oracle_params_to_jax(params)})
-        for _ in range(2):
-            state = solver.epoch(state)
-        outs[mode] = jax.tree_util.tree_map(np.asarray, state["params"])
+    m, n, k, nnz = 23, 17, 5, 101
+    B = jnp.asarray(rng.normal(size=(n, k)))
+    take = jnp.asarray(rng.integers(0, n, size=nnz), jnp.int32)
+    seg = jnp.asarray(rng.integers(0, m, size=nnz), jnp.int32)
+    wa = jnp.asarray(rng.random(nnz))
+    wb = jnp.asarray(rng.random(nnz))
 
-    for f12 in outs["on"]:
-        for key in outs["on"][f12]:
-            np.testing.assert_allclose(
-                outs["on"][f12][key], outs["off"][f12][key],
-                rtol=1e-8, atol=1e-10,
-            )
+    ref_a = pos_scatter(wa, B, take, seg, m)
+    ref_b = pos_scatter(wb, B * B, take, seg, m)
+    for chunk in (nnz + 1, 16):  # direct + chunked branches
+        got_a, got_b = pos_scatter_pair(wa, wb, B, take, seg, m,
+                                        max_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(got_a), np.asarray(ref_a),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
+                                   rtol=1e-12, atol=1e-12)
