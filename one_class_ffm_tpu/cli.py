@@ -87,8 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "items for large catalogs")
     p.add_argument("--cg-precond", dest="cg_precond", default="auto",
                    choices=["auto", "jacobi", "none"],
-                   help="CG flavor: auto (jacobi for f32/f64, none for "
-                        "bf16 — fastest per dtype), jacobi (diagonal-"
+                   help="CG flavor: auto (jacobi except plain-COO bf16 — "
+                        "the measured winners), jacobi (diagonal-"
                         "preconditioned, same stop rule), none (reference-"
                         "exact plain CG, ffm.cpp:744-813)")
     p.add_argument("--distributed", action="store_true",

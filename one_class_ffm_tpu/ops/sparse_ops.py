@@ -403,3 +403,178 @@ def pos_hv(phi: Array, own_ids: Array, B: Array, other_ids: Array,
 
     init = jnp.zeros((num_out, B.shape[1]), B.dtype)
     return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+# ---------------------------------------------------------------------------
+# Blocked-sorted positive ops: segment reductions as MXU block matmuls
+# ---------------------------------------------------------------------------
+#
+# The u-major COO stream is sorted by its segment side, so a window of BM
+# consecutive output rows owns a CONTIGUOUS slice of the stream.  Padding
+# each window's slice to a common MAXC (once, on the host — the stream is
+# static across epochs) turns the whole positive pass into per-block dense
+# algebra:
+#
+#     rows  = B[take_i]                 (MAXC, k)  one random gather
+#     ohm   = OneHot(own_local_i)       (MAXC, BM) built on the fly
+#     phig  = ohm @ phi_block           gather of phi BY MATMUL   (MXU)
+#     out_i = ohm^T @ (coeff * rows)    segment-sum BY MATMUL     (MXU)
+#
+# replacing XLA's scatter-add (the measured epoch bottleneck: ~15 ms per
+# 1M-entry pass at bench shapes vs ~1 ms of MXU time here; the remaining
+# cost is the shared B-row gather).  Pad entries carry own_local == BM,
+# whose one-hot row is all zeros — they vanish from both matmuls with no
+# explicit masking.  Accumulation is f32+ regardless of storage dtype
+# (strictly better than segment_sum's native-dtype adds).
+
+
+def make_blocked_layout(seg_ids, take_ids, num_rows: int,
+                        block_rows: int = 256, max_pad_ratio: float = 2.0):
+    """Host-side (numpy) block-aligned view of the COO stream, segmented by
+    ``seg_ids``.  An unsorted segment side is stable-argsorted first — the
+    per-call coefficient permutation this induces is a cheap (nnz,) scalar
+    gather via ``src`` (unlike the measured-negative v-sorted PAYLOAD copy).
+
+    Returns None when the layout does not apply: num_rows not divisible by
+    block_rows, or row skew would pad the stream beyond max_pad_ratio (a
+    power-user block sets MAXC for everyone).
+    """
+    import numpy as np
+
+    if block_rows <= 0 or num_rows % block_rows or num_rows == 0:
+        return None
+    nnz = int(seg_ids.shape[0])
+    if nnz == 0:
+        return None
+    seg = np.asarray(seg_ids)
+    order = None
+    if np.any(np.diff(seg) < 0):
+        order = np.argsort(seg, kind="stable").astype(np.int64)
+        seg = seg[order]
+    n_blocks = num_rows // block_rows
+    starts = np.searchsorted(seg, np.arange(0, num_rows + 1, block_rows))
+    counts = np.diff(starts)
+    maxc = int(counts.max())
+    MAXC = max(8, -(-maxc // 8) * 8)  # sublane-friendly
+    if n_blocks * MAXC > max_pad_ratio * nnz:
+        return None
+    offs = np.arange(MAXC, dtype=np.int64)[None, :]
+    pos = starts[:-1, None] + offs  # (n_blocks, MAXC) positions in seg order
+    valid = offs < counts[:, None]
+    pos = np.where(valid, np.minimum(pos, nnz - 1), 0)
+    src = pos if order is None else order[pos]  # positions in ORIGINAL order
+    src = np.where(valid, src, 0).astype(np.int32)
+    own_local = np.where(
+        valid,
+        seg[pos]
+        - (np.arange(n_blocks, dtype=np.int64) * block_rows)[:, None],
+        block_rows,  # pad marker: one-hot row of all zeros
+    ).astype(np.int32)
+    take = np.where(valid, np.asarray(take_ids)[src], 0).astype(np.int32)
+    return dict(src=src, own=own_local, take=take,
+                block_rows=block_rows, maxc=MAXC)
+
+
+def _blocked_dot(a: Array, b: Array, out_dtype):
+    acc = jnp.promote_types(out_dtype, jnp.float32)
+    return jax.lax.dot(a, b, preferred_element_type=acc).astype(out_dtype)
+
+
+# One big up-front row gather per GROUP of blocks instead of one small
+# gather per block: per-block gathers in a fori_loop are latency-bound (no
+# win vs the plain pair: 17.8 ms vs 17.2 ms at bench shapes), while the
+# group-prefetched form measures 8.0 ms f32 / 10 ms bf16.  The prefetch
+# transient is (G, MAXC, k) — bounded by OCFFM_BLK_PREFETCH bytes.
+_BLK_PREFETCH = int(os.environ.get("OCFFM_BLK_PREFETCH", 1 << 29))
+
+
+def _blk_group(n_blocks: int, maxc: int, k: int, itemsize: int) -> int:
+    lanes = -(-k // 128) * 128
+    per_block = max(1, maxc * lanes * itemsize)
+    return max(1, min(n_blocks, _BLK_PREFETCH // per_block))
+
+
+def pos_scatter_blocked(coeff: Array, B: Array, take: Array, src: Array,
+                        own: Array, num_out: int, block_rows: int,
+                        diag_w: Array | None = None):
+    """Blocked-sorted pos_scatter: out[s] += coeff[t] * B[take[t]].
+
+    ``coeff`` is in ORIGINAL stream order (gathered per block via ``src``).
+    With ``diag_w``: also return the Jacobi diag positive term
+    sum diag_w[t] * B[take[t]]^2 from the same B gather (the fused
+    grad+diag pair, cf. pos_scatter_pair)."""
+    n_blocks, MAXC = take.shape
+    k = B.shape[1]
+    dt = B.dtype
+    G = _blk_group(n_blocks, MAXC, k, jnp.dtype(dt).itemsize)
+    n_groups = -(-n_blocks // G)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (MAXC, block_rows), 1)
+
+    def outer(g, carry):
+        # overlapping last group recomputes a few blocks — idempotent
+        # (each block's output rows depend only on its own entries)
+        base = jnp.minimum(g * G, n_blocks - G)
+        take_g = jax.lax.dynamic_slice(take, (base, 0), (G, MAXC))
+        src_g = jax.lax.dynamic_slice(src, (base, 0), (G, MAXC))
+        own_g = jax.lax.dynamic_slice(own, (base, 0), (G, MAXC))
+        rows_g = B[take_g.reshape(-1)].reshape(G, MAXC, k)
+        cb_g = coeff[src_g]
+        wq_g = diag_w[src_g] if diag_w is not None else None
+
+        def inner(j, carry):
+            out, outq = carry
+            rows = rows_g[j]
+            ohm = (own_g[j][:, None] == iota).astype(dt)  # (MAXC, BM)
+            blockv = _blocked_dot(ohm.T, cb_g[j][:, None] * rows, dt)
+            row0 = (base + j) * block_rows
+            out = jax.lax.dynamic_update_slice(out, blockv, (row0, 0))
+            if diag_w is not None:
+                bq = _blocked_dot(
+                    ohm.T, wq_g[j][:, None] * rows * rows, dt)
+                outq = jax.lax.dynamic_update_slice(outq, bq, (row0, 0))
+            return out, outq
+
+        return jax.lax.fori_loop(0, G, inner, carry)
+
+    init = (jnp.zeros((num_out, k), dt),
+            jnp.zeros((num_out, k), dt) if diag_w is not None
+            else jnp.zeros((), dt))
+    out, outq = jax.lax.fori_loop(0, n_groups, outer, init)
+    if diag_w is not None:
+        return out, outq
+    return out
+
+
+def pos_hv_blocked(phi: Array, B: Array, w: Array, take: Array, src: Array,
+                   own: Array, num_out: int, block_rows: int) -> Array:
+    """Blocked-sorted fused CG positive term (pos_dot + pos_scatter in one
+    B gather):  zp[s] += w[t] * <phi[u_t], B[take_t]> * B[take_t]."""
+    n_blocks, MAXC = take.shape
+    k = B.shape[1]
+    dt = B.dtype
+    G = _blk_group(n_blocks, MAXC, k, jnp.dtype(dt).itemsize)
+    n_groups = -(-n_blocks // G)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (MAXC, block_rows), 1)
+
+    def outer(g, out):
+        base = jnp.minimum(g * G, n_blocks - G)
+        take_g = jax.lax.dynamic_slice(take, (base, 0), (G, MAXC))
+        src_g = jax.lax.dynamic_slice(src, (base, 0), (G, MAXC))
+        own_g = jax.lax.dynamic_slice(own, (base, 0), (G, MAXC))
+        rows_g = B[take_g.reshape(-1)].reshape(G, MAXC, k)
+        wb_g = w[src_g]
+
+        def inner(j, out):
+            rows = rows_g[j]
+            ohm = (own_g[j][:, None] == iota).astype(dt)
+            row0 = (base + j) * block_rows
+            phig = _blocked_dot(ohm, jax.lax.dynamic_slice(
+                phi, (row0, 0), (block_rows, k)), dt)
+            pq = jnp.sum(phig * rows, axis=1) * wb_g[j]
+            blockv = _blocked_dot(ohm.T, pq[:, None] * rows, dt)
+            return jax.lax.dynamic_update_slice(out, blockv, (row0, 0))
+
+        return jax.lax.fori_loop(0, G, inner, out)
+
+    return jax.lax.fori_loop(0, n_groups, outer,
+                             jnp.zeros((num_out, k), dt))

@@ -63,6 +63,12 @@ class ProblemMeta:
     # no random access at all.  Detected from the data in make_device_data.
     ident_u: Tuple[bool, ...] = ()
     ident_v: Tuple[bool, ...] = ()
+    # > 0: the COO stream has a block-aligned layout in data
+    # (blk_u_*/blk_v_*) and that side's cross positive passes run as
+    # per-block one-hot MXU matmuls instead of segment scatter-adds
+    # (ops.pos_hv_blocked / pos_scatter_blocked).  Value = rows per block.
+    blocked_bm_u: int = 0
+    blocked_bm_v: int = 0
 
     def pad_d(self, d: int) -> int:
         """Padded table row dim.  Pad rows are never indexed by any feature,
@@ -82,6 +88,7 @@ def make_device_data(
     hp: HyperParams,
     dtype=jnp.float32,
     d_multiple: int = 1,
+    blocked_bm: int = 0,
 ) -> Tuple[ProblemMeta, Dict[str, Any]]:
     """Assemble the device array dict + static meta from host padded views.
 
@@ -95,6 +102,12 @@ def make_device_data(
 
     ``d_multiple`` > 1 rounds every block table's row dim (and its reg
     vector) up to that multiple so tables divide a ``model`` mesh axis.
+
+    ``blocked_bm`` > 0 additionally builds block-aligned views of the
+    positive stream for BOTH segment sides (blk_u_*/blk_v_* arrays; see
+    ops.make_blocked_layout) where they apply (row count divisible, skew
+    within budget) — single-device only; the mesh path keeps the plain COO
+    ops.
     """
     def ident_flags(pf: PaddedFields) -> Tuple[bool, ...]:
         """Strict identity-encoded fields: row i's single feature is
@@ -117,6 +130,13 @@ def make_device_data(
             out.append(ok)
         return tuple(out)
 
+    blk = blk_v = None
+    if blocked_bm:
+        from ..ops.sparse_ops import make_blocked_layout
+
+        blk = make_blocked_layout(y.u, y.v, u.m, blocked_bm)
+        blk_v = make_blocked_layout(y.v, y.u, v.m, blocked_bm)
+
     meta = ProblemMeta(
         layout=layout,
         hp=hp,
@@ -129,6 +149,8 @@ def make_device_data(
         d_multiple=d_multiple,
         ident_u=ident_flags(u),
         ident_v=ident_flags(v),
+        blocked_bm_u=blocked_bm if blk is not None else 0,
+        blocked_bm_v=blocked_bm if blk_v is not None else 0,
     )
 
     def regs(pf: PaddedFields):
@@ -158,6 +180,14 @@ def make_device_data(
     )
     data["reg_u"] = regs(u)
     data["reg_v"] = regs(v)
+    if blk is not None:
+        data["blk_u_take"] = jnp.asarray(blk["take"])
+        data["blk_u_src"] = jnp.asarray(blk["src"])
+        data["blk_u_own"] = jnp.asarray(blk["own"])
+    if blk_v is not None:
+        data["blk_v_take"] = jnp.asarray(blk_v["take"])
+        data["blk_v_src"] = jnp.asarray(blk_v["src"])
+        data["blk_v_own"] = jnp.asarray(blk_v["own"])
     return meta, data
 
 
@@ -175,7 +205,9 @@ def make_device_data(
 from ..ops.sparse_ops import (  # noqa: E402
     pos_dot,
     pos_hv,
+    pos_hv_blocked,
     pos_scatter,
+    pos_scatter_blocked,
     pos_scatter_pair,
     project,
     scatter,
@@ -216,16 +248,17 @@ class FFMSolver:
         self.meta = meta
         self.data = data
         self.blocks: List[BlockInfo] = meta.layout.all_blocks()
-        # "auto" resolves per storage dtype: Jacobi PCG measured 1.48x
-        # faster at f32 (fused diag build, fewer iterations) but SLOWER at
-        # bf16, where bf16 Hessian arithmetic defeats the preconditioner
-        # (solves stall to the iteration cap; docs/PERF.md, scripts/
-        # cg_iters.py).  Explicit "jacobi"/"none" override the heuristic.
+        # "auto": Jacobi PCG everywhere EXCEPT bf16 storage with plain COO
+        # ops — there the bf16-accumulated Hv noise defeats the
+        # preconditioner (solves stall to the iteration cap; docs/PERF.md,
+        # scripts/cg_iters.py).  The blocked-sorted ops accumulate their
+        # matmuls in f32, which restores PCG at bf16 (337k vs 333k ex/s).
+        # Explicit "jacobi"/"none" override the heuristic.
         self.cg_precond = meta.hp.cg_precond
         if self.cg_precond == "auto":
-            self.cg_precond = (
-                "none" if meta.dtype == jnp.bfloat16 else "jacobi"
-            )
+            plain_bf16 = meta.dtype == jnp.bfloat16 and not (
+                meta.blocked_bm_u or meta.blocked_bm_v)
+            self.cg_precond = "none" if plain_bf16 else "jacobi"
         # donate the carried state: P/Q/a/b/yt buffers are dead after the
         # epoch returns their successors (no-op on backends without donation)
         self._epoch = jax.jit(self._epoch_entry, donate_argnums=(0,))
@@ -446,7 +479,14 @@ class FFMSolver:
             dense = hp.omega * (
                 (state["a"] - hp.r)[:, None] * oQ[None, :] + bQ[None, :] + gram_T
             )
-            if with_diag_pos:
+            if meta.blocked_bm_u and not with_diag_pos:
+                # blocked layout: segment-sum as MXU block matmuls.  With
+                # the Jacobi diag the fused pos_scatter_pair measures faster
+                # than the blocked double-payload form — keep it there.
+                zpos = pos_scatter_blocked(
+                    c, Q1, d["blk_u_take"], d["blk_u_src"], d["blk_u_own"],
+                    meta.m, meta.blocked_bm_u)
+            elif with_diag_pos:
                 zpos, posq = pos_scatter_pair(
                     c, wq, Q1, d["pos_v"], d["pos_u"], meta.m, seg_sorted=True)
             else:
@@ -463,7 +503,11 @@ class FFMSolver:
             dense = hp.omega * (
                 (state["b"] - hp.r)[:, None] * oQ[None, :] + bQ[None, :] + gram_T
             )
-            if with_diag_pos:
+            if meta.blocked_bm_v and not with_diag_pos:
+                zpos = pos_scatter_blocked(
+                    c, P1, d["blk_v_take"], d["blk_v_src"], d["blk_v_own"],
+                    meta.n, meta.blocked_bm_v)
+            elif with_diag_pos:
                 zpos, posq = pos_scatter_pair(
                     c, wq, P1, d["pos_u"], d["pos_v"], meta.n)
             else:
@@ -517,6 +561,24 @@ class FFMSolver:
         QTQ = Q1.T @ Q1  # pad rows are zero; full Gram == true-row Gram
         dim = (state["params"][b.f12]["W" if first else "H"]).shape[0]
         w_pos = d["pos_w"]
+
+        blk_bm = meta.blocked_bm_u if first else meta.blocked_bm_v
+        if blk_bm:
+            # blocked layout: pos_dot + pos_scatter fused into one
+            # B-row gather + two one-hot MXU matmuls per row block
+            pre = "blk_u_" if first else "blk_v_"
+            w_hv = (1.0 - hp.omega) * w_pos
+
+            def hv_blocked(V: Array) -> Array:
+                phi = self._proj(b, first, V)  # (rows, k)
+                dense = hp.omega * (phi @ QTQ)
+                zp = pos_hv_blocked(
+                    phi, Q1, w_hv, d[pre + "take"], d[pre + "src"],
+                    d[pre + "own"], num, blk_bm)
+                return hp.lam * reg[:, None] * V + self._scat(
+                    b, first, dense + zp, dim)
+
+            return hv_blocked
 
         def hv(V: Array) -> Array:
             phi = self._proj(b, first, V)  # (rows, k)

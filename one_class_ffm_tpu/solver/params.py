@@ -19,7 +19,8 @@ class HyperParams:
     # "jacobi": diagonal-preconditioned CG — same linear system, same stop
     # rule (true residual vs ||g||^2), fewer iterations and capped solves
     # land closer to the true Newton step.  "none": the reference's plain
-    # CG (ffm.cpp:744-813).  "auto" (default): jacobi for f32/f64 storage
-    # (measured 1.48x faster), none for bf16 (bf16 Hessian arithmetic
-    # defeats the preconditioner; docs/PERF.md).
+    # CG (ffm.cpp:744-813).  "auto" (default): jacobi everywhere except
+    # bf16 storage with the plain COO ops, where bf16-accumulated Hv noise
+    # defeats the preconditioner (docs/PERF.md; the blocked-sorted ops
+    # accumulate in f32 and restore it).
     cg_precond: str = "auto"

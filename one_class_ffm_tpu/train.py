@@ -79,10 +79,14 @@ class TrainConfig:
     # the catalog exceeds eval_item_threshold)
     eval_shard: str = "auto"
     eval_item_threshold: int = 1 << 18
-    # CG flavor: "auto" (jacobi for f32/f64 storage, none for bf16 — the
-    # measured-fastest per dtype), "jacobi", or "none" (reference-exact
-    # plain CG)
+    # CG flavor: "auto" (jacobi except plain-COO bf16 — the measured
+    # winners per config), "jacobi", or "none" (reference-exact plain CG)
     cg_precond: str = "auto"
+    # rows per block for the blocked-sorted positive ops (u-side segment
+    # sums as one-hot MXU matmuls).  0 disables.  Single-device only — the
+    # mesh path keeps the plain COO ops; auto-disabled when the stream's
+    # row skew would over-pad (ops.make_blocked_layout).
+    blocked_bm: int = 256
 
     def hyper(self) -> HyperParams:
         return HyperParams(
@@ -221,6 +225,13 @@ class Trainer:
                 cfg,
                 row_multiple=_lcm(max(1, cfg.row_multiple), n_data),
                 eval_chunk=_lcm(max(1, cfg.eval_chunk), n_data),
+                blocked_bm=0,  # mesh path keeps the plain COO ops
+            )
+        elif cfg.blocked_bm > 0:
+            # user rows must divide the block size for the blocked layout
+            cfg = dataclasses.replace(
+                cfg,
+                row_multiple=_lcm(max(1, cfg.row_multiple), cfg.blocked_bm),
             )
         self.cfg = cfg
         self.data = data if data is not None else load_problem(cfg)
@@ -228,7 +239,7 @@ class Trainer:
         dtype = _np_dtype(cfg.dtype)
         meta, dev = make_device_data(
             d.u_pad, d.v_pad, d.y_pad, d.layout, cfg.hyper(), dtype=dtype,
-            d_multiple=n_model,
+            d_multiple=n_model, blocked_bm=cfg.blocked_bm,
         )
         if self.mesh is not None:
             from .parallel.mesh import shard_data

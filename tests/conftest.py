@@ -96,7 +96,7 @@ def dense_to_padded(X, m_pad=None, dtype=np.float64):
 
 
 def to_device_problem(prob, row_pad=0, dtype=np.float64, multiple=1,
-                      d_multiple=1):
+                      d_multiple=1, blocked_bm=0):
     """OracleProblem -> (meta, data) for FFMSolver, optionally padding rows.
 
     ``multiple``: round padded row counts and nnz up to this multiple (for
@@ -146,7 +146,8 @@ def to_device_problem(prob, row_pad=0, dtype=np.float64, multiple=1,
         nnz=nnz, nnz_true=nnz_true, u=pu, v=pv, w=pw, count_u=cu, count_v=cv
     )
     return make_device_data(
-        u, v, y, prob.layout, prob.hp, dtype=jnp.float64, d_multiple=d_multiple
+        u, v, y, prob.layout, prob.hp, dtype=jnp.float64,
+        d_multiple=d_multiple, blocked_bm=blocked_bm,
     )
 
 

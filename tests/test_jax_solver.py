@@ -291,8 +291,8 @@ def test_solver_diag_matches_oracle(rng, cfg, row_pad):
 
 
 def test_cg_precond_auto_resolution(rng):
-    """auto -> jacobi for f32/f64 storage, none for bf16 (measured per-dtype
-    winners, docs/PERF.md)."""
+    """auto -> jacobi everywhere except bf16 WITHOUT the blocked ops (the
+    measured winners per config, docs/PERF.md)."""
     import jax.numpy as jnp
 
     from conftest import make_problem, to_device_problem
@@ -308,3 +308,31 @@ def test_cg_precond_auto_resolution(rng):
 
     meta_bf16 = dataclasses.replace(meta, dtype=jnp.bfloat16)
     assert FFMSolver(meta_bf16, data).cg_precond == "none"
+    meta_bf16_blk = dataclasses.replace(meta_bf16, blocked_bm_u=4)
+    assert FFMSolver(meta_bf16_blk, data).cg_precond == "jacobi"
+
+
+@pytest.mark.parametrize("cfg", [dict(), dict(self_side=False),
+                                 dict(cg_precond="none")])
+def test_full_epoch_matches_oracle_blocked_u(rng, cfg):
+    """Epochs with the u-side blocked-sorted positive ops (one-hot MXU
+    block matmuls) must still match the fp64 oracle at 1e-6."""
+    prob, params = make_problem(rng, **cfg)
+    meta, data = to_device_problem(prob, row_pad=3, blocked_bm=4)
+    assert meta.blocked_bm_u == 4, "blocked layout should have applied"
+    solver = FFMSolver(meta, data)
+    state = solver.refresh_caches({"params": oracle_params_to_jax(params)})
+    with jax.disable_jit():
+        for _ in range(2):
+            ref_params = oracle.oracle_epoch(prob, params)
+            params = ref_params
+            state = solver.epoch(state)
+    for f12 in ref_params["W"]:
+        np.testing.assert_allclose(
+            np.asarray(state["params"][f12]["W"]), ref_params["W"][f12],
+            rtol=1e-6, atol=1e-9, err_msg=f"W block {f12}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(state["params"][f12]["H"]), ref_params["H"][f12],
+            rtol=1e-6, atol=1e-9, err_msg=f"H block {f12}",
+        )

@@ -161,3 +161,86 @@ def test_pos_scatter_pair_matches_two_scatters(rng):
                                    rtol=1e-12, atol=1e-12)
         np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_blocked_layout_and_ops_match_pos_ops(rng):
+    """Blocked-sorted ops == pos_scatter / pos_dot+pos_scatter on a sorted
+    stream (f64 tight), including the fused diag payload."""
+    from one_class_ffm_tpu.ops.sparse_ops import (
+        make_blocked_layout,
+        pos_dot,
+        pos_hv_blocked,
+        pos_scatter,
+        pos_scatter_blocked,
+    )
+
+    num, n_other, k, nnz, BM = 24, 11, 5, 93, 4
+    u = np.sort(rng.integers(0, num, size=nnz)).astype(np.int32)
+    v = rng.integers(0, n_other, size=nnz).astype(np.int32)
+    blk = make_blocked_layout(u, v, num, block_rows=BM, max_pad_ratio=50.0)
+    assert blk is not None
+
+    B = jnp.asarray(rng.normal(size=(n_other, k)))
+    phi = jnp.asarray(rng.normal(size=(num, k)))
+    coeff = jnp.asarray(rng.random(nnz))
+    wq = jnp.asarray(rng.random(nnz))
+    take = jnp.asarray(blk["take"])
+    src = jnp.asarray(blk["src"])
+    own = jnp.asarray(blk["own"])
+
+    ref = pos_scatter(coeff, B, jnp.asarray(v), jnp.asarray(u), num,
+                      seg_sorted=True)
+    got = pos_scatter_blocked(coeff, B, take, src, own, num, BM)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)
+
+    got2, gotq = pos_scatter_blocked(coeff, B, take, src, own, num, BM,
+                                     diag_w=wq)
+    refq = pos_scatter(wq, B * B, jnp.asarray(v), jnp.asarray(u), num,
+                       seg_sorted=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gotq), np.asarray(refq),
+                               rtol=1e-10, atol=1e-12)
+
+    w = jnp.asarray(rng.random(nnz))
+    pq = pos_dot(phi, jnp.asarray(u), B, jnp.asarray(v)) * w
+    ref_hv = pos_scatter(pq, B, jnp.asarray(v), jnp.asarray(u), num,
+                         seg_sorted=True)
+    got_hv = pos_hv_blocked(phi, B, w, take, src, own, num, BM)
+    np.testing.assert_allclose(np.asarray(got_hv), np.asarray(ref_hv),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_blocked_layout_rejections(rng):
+    from one_class_ffm_tpu.ops.sparse_ops import make_blocked_layout
+
+    u = np.sort(rng.integers(0, 24, size=50)).astype(np.int32)
+    v = rng.integers(0, 7, size=50).astype(np.int32)
+    assert make_blocked_layout(u, v, 25, block_rows=4) is None  # 25 % 4
+    # skew guard: one row owns everything -> MAXC blows the pad ratio
+    u2 = np.zeros(50, np.int32)
+    assert make_blocked_layout(u2, v, 1024, 4, max_pad_ratio=2.0) is None
+
+
+def test_blocked_layout_unsorted_segment_side(rng):
+    """An UNSORTED segment side (the v side of the u-major stream) is
+    argsorted inside the builder; the blocked scatter must still equal
+    pos_scatter on the original stream."""
+    from one_class_ffm_tpu.ops.sparse_ops import (
+        make_blocked_layout, pos_scatter, pos_scatter_blocked,
+    )
+
+    num, n_other, k, nnz, BM = 20, 9, 4, 77, 4
+    seg = rng.integers(0, num, size=nnz).astype(np.int32)  # unsorted
+    take_ids = rng.integers(0, n_other, size=nnz).astype(np.int32)
+    blk = make_blocked_layout(seg, take_ids, num, BM, max_pad_ratio=50.0)
+    assert blk is not None
+    B = jnp.asarray(rng.normal(size=(n_other, k)))
+    coeff = jnp.asarray(rng.random(nnz))
+    ref = pos_scatter(coeff, B, jnp.asarray(take_ids), jnp.asarray(seg), num)
+    got = pos_scatter_blocked(coeff, B, jnp.asarray(blk["take"]),
+                              jnp.asarray(blk["src"]),
+                              jnp.asarray(blk["own"]), num, BM)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)

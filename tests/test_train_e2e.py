@@ -373,3 +373,22 @@ def test_cg_precond_flag_and_none_path(dataset, tmp_path):
     tr.init_state()
     m = tr.run(log=lambda *_: None)
     assert m and m["ploss"] == m["ploss"]
+
+
+def test_blocked_positive_ops_match_plain(dataset, tmp_path):
+    """Trainer with the blocked-sorted positive ops == plain COO ops (f64
+    exact to solver tolerance); the blocked layout must actually engage."""
+    cfg_b = make_cfg(dataset, tmp_path, nr_pass=3, eval_every=3, blocked_bm=8)
+    cfg_p = make_cfg(dataset, tmp_path, nr_pass=3, eval_every=3, blocked_bm=0)
+    tr_b, tr_p = Trainer(cfg_b), Trainer(cfg_p)
+    assert tr_b.meta.blocked_bm_u == 8
+    assert tr_p.meta.blocked_bm_u == 0
+    tr_b.init_state()
+    tr_p.init_state()
+    mb = tr_b.run(log=lambda *_: None)
+    mp = tr_p.run(log=lambda *_: None)
+    assert abs(mb["ploss"] - mp["ploss"]) < 1e-8
+    pb, pp = tr_b.params_numpy(), tr_p.params_numpy()
+    for f12 in pp:
+        np.testing.assert_allclose(pb[f12]["W"], pp[f12]["W"],
+                                   rtol=1e-8, atol=1e-10)
