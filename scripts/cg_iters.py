@@ -37,10 +37,11 @@ def main():
                                                  row_multiple=256)
     layout = BlockLayout.make(du, dv, self_side=True)
 
+    blocked_bm = int(os.environ.get("BENCH_BLOCKED_BM", 256))
     for mode in ("jacobi", "none"):
         hp = HyperParams(k=k, lam=0.05, omega=0.1, r=-1.0, cg_precond=mode)
         meta, data = make_device_data(u_pad, v_pad, y_pad, layout, hp,
-                                      dtype=dtype)
+                                      dtype=dtype, blocked_bm=blocked_bm)
         solver = FFMSolver(meta, data)
         state = solver.init(jax.random.key(0))
         state, its = solver.epoch_stats(state)  # compile + warmup epoch
