@@ -46,6 +46,7 @@ def main() -> int:
         dims_v=(n_items, 500),
         avg_pos=5.0,
         seed=0,
+        pop_skew=float(os.environ.get("BENCH_SKEW", 0.0)),
     )
     # rows padded to 256 so the Pallas projection kernel's row blocks divide
     (du, dv), u_pad, v_pad, y_pad = build_padded(

@@ -32,6 +32,10 @@ class SynthSpec:
     affinity: float = 0.8  # prob a positive stays in the user's class
     max_extra_nnz: int = 2  # extra features per non-id field
     seed: int = 0
+    # > 0: zipf-like item popularity (weight ~ rank^-pop_skew) for positive
+    # draws — real catalogs are head-heavy; exercises the blocked-layout
+    # skew guard and gives honest throughput numbers for skewed streams
+    pop_skew: float = 0.0
 
     def resolve(self):
         du = self.dims_u or tuple(
@@ -54,6 +58,25 @@ def generate(spec: SynthSpec):
     items_by_class: List[np.ndarray] = [
         np.nonzero(v_class == c)[0] for c in range(spec.n_classes)
     ]
+    pop_w = None
+    pop_by_class: List[np.ndarray] = []
+    if spec.pop_skew > 0:
+        # item j's popularity rank is a fixed permutation of the catalog
+        ranks = rng.permutation(spec.n_items)
+        pop_w = (1.0 + ranks) ** -float(spec.pop_skew)
+        pop_w = pop_w / pop_w.sum()
+        for c in range(spec.n_classes):
+            wc = pop_w[items_by_class[c]]
+            pop_by_class.append(wc / wc.sum() if wc.size else wc)
+
+    def draw_item(own, c):
+        if own.size and rng.random() < spec.affinity:
+            if pop_w is None:
+                return int(own[rng.integers(own.size)])
+            return int(rng.choice(own, p=pop_by_class[c]))
+        if pop_w is None:
+            return int(rng.integers(spec.n_items))
+        return int(rng.choice(spec.n_items, p=pop_w))
 
     user_rows = []
     for i in range(spec.n_users):
@@ -61,10 +84,7 @@ def generate(spec: SynthSpec):
         labels = set()
         own = items_by_class[u_class[i]]
         for _ in range(n_pos):
-            if own.size and rng.random() < spec.affinity:
-                labels.add(int(own[rng.integers(own.size)]))
-            else:
-                labels.add(int(rng.integers(spec.n_items)))
+            labels.add(draw_item(own, int(u_class[i])))
         feats = [(0, i % du[0], 1.0)]
         for fi in range(1, spec.fu):
             base = (u_class[i] * (du[fi] // spec.n_classes)) % max(du[fi], 1)

@@ -31,7 +31,8 @@ def main() -> int:
     dtype_name = os.environ.get("BENCH_DTYPE", "float32")
     variants = os.environ.get(
         "ABL_VARIANTS",
-        "baseline,no_pos_dot,no_pos_scatter,no_pos_both,no_tbl_scatter,no_project",
+        "baseline,no_pos_dot,no_pos_scatter,no_pos_both,no_tbl_scatter,"
+        "no_project,no_hv_blocked,no_scatter_blocked,no_pair",
     ).split(",")
 
     import jax
@@ -57,13 +58,32 @@ def main() -> int:
                      cg_max_iter=cap, cg_eps=0.0)
 
     orig = dict(pos_dot=JS.pos_dot, pos_scatter=JS.pos_scatter,
-                scatter=JS.scatter, project=JS.project)
+                scatter=JS.scatter, project=JS.project,
+                pos_hv_blocked=JS.pos_hv_blocked,
+                pos_scatter_blocked=JS.pos_scatter_blocked,
+                pos_scatter_pair=JS.pos_scatter_pair)
 
     def patch(variant):
         JS.pos_dot = orig["pos_dot"]
         JS.pos_scatter = orig["pos_scatter"]
         JS.scatter = orig["scatter"]
         JS.project = orig["project"]
+        JS.pos_hv_blocked = orig["pos_hv_blocked"]
+        JS.pos_scatter_blocked = orig["pos_scatter_blocked"]
+        JS.pos_scatter_pair = orig["pos_scatter_pair"]
+        if variant == "no_hv_blocked":
+            JS.pos_hv_blocked = lambda phi, B, w, t, s_, o, num, bm: (
+                jnp.zeros((num, B.shape[1]), B.dtype))
+        if variant == "no_scatter_blocked":
+            JS.pos_scatter_blocked = (
+                lambda c, B, t, s_, o, num, bm, diag_w=None:
+                jnp.zeros((num, B.shape[1]), B.dtype) if diag_w is None
+                else (jnp.zeros((num, B.shape[1]), B.dtype),
+                      jnp.zeros((num, B.shape[1]), B.dtype)))
+        if variant == "no_pair":
+            JS.pos_scatter_pair = lambda a, b, B, t, s_, num, **kw: (
+                jnp.zeros((num, B.shape[1]), B.dtype),
+                jnp.zeros((num, B.shape[1]), B.dtype))
         if variant in ("no_pos_dot", "no_pos_both"):
             JS.pos_dot = lambda A, u, B, v, **kw: jnp.zeros(
                 u.shape[0], A.dtype)
@@ -79,7 +99,8 @@ def main() -> int:
     for variant in variants:
         patch(variant.strip())
         meta, data = JS.make_device_data(
-            u_pad, v_pad, y_pad, layout, hp, dtype=dtype)
+            u_pad, v_pad, y_pad, layout, hp, dtype=dtype,
+            blocked_bm=int(os.environ.get("BENCH_BLOCKED_BM", 256)))
         solver = JS.FFMSolver(meta, data)
         state = solver.init(jax.random.key(0))
         state = solver.epoch(state)

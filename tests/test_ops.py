@@ -244,3 +244,42 @@ def test_blocked_layout_unsorted_segment_side(rng):
                               jnp.asarray(blk["own"]), num, BM)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_blocked_mixed_dispatch_under_skew(rng):
+    """Head-heavy item popularity: the v-side layout must self-reject (one
+    popular item's block sets MAXC for all) while the u-side stays blocked;
+    the solver runs the resulting MIXED dispatch and still matches the
+    plain path."""
+    import jax
+
+    from one_class_ffm_tpu.data.synth import SynthSpec, build_padded
+    from one_class_ffm_tpu.models.blocks import BlockLayout
+    from one_class_ffm_tpu.solver.jax_solver import (
+        FFMSolver, make_device_data,
+    )
+    from one_class_ffm_tpu.solver.params import HyperParams
+
+    spec = SynthSpec(n_users=512, n_items=128, avg_pos=6.0, seed=2,
+                     dims_u=(512, 64), dims_v=(128, 32), pop_skew=2.5)
+    (du, dv), u_pad, v_pad, y_pad = build_padded(spec, dtype=np.float32,
+                                                 row_multiple=16)
+    layout = BlockLayout.make(du, dv, self_side=True)
+    hp = HyperParams(k=4, lam=0.05, omega=0.1, r=-1.0)
+    meta_b, data_b = make_device_data(u_pad, v_pad, y_pad, layout, hp,
+                                      dtype=jnp.float64, blocked_bm=16)
+    assert meta_b.blocked_bm_u == 16  # user side stays blocked
+    assert meta_b.blocked_bm_v == 0  # item side rejected by the skew guard
+
+    meta_p, data_p = make_device_data(u_pad, v_pad, y_pad, layout, hp,
+                                      dtype=jnp.float64)
+    sb, sp = FFMSolver(meta_b, data_b), FFMSolver(meta_p, data_p)
+    st_b = sb.init(jax.random.key(0))
+    st_p = sp.init(jax.random.key(0))
+    for _ in range(2):
+        st_b = sb.epoch(st_b)
+        st_p = sp.epoch(st_p)
+    for f12 in st_p["params"]:
+        np.testing.assert_allclose(
+            np.asarray(st_b["params"][f12]["W"]),
+            np.asarray(st_p["params"][f12]["W"]), rtol=1e-9, atol=1e-11)
