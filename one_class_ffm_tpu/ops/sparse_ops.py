@@ -488,6 +488,20 @@ def _blocked_dot(a: Array, b: Array, out_dtype):
 _BLK_PREFETCH = int(os.environ.get("OCFFM_BLK_PREFETCH", 1 << 29))
 
 
+def gather_blocked_rows(B: Array, take: Array) -> Array:
+    """Materialize the blocked stream's B rows ONCE: (n_blocks, MAXC, k).
+
+    B is loop-invariant across a block solve (only phi changes per CG
+    iteration), so the random row gather — the measured per-pass bottleneck,
+    ~8 ms/M rows even from small tables (row-count-bound: HBM reads are
+    tile-granular) — can be paid once per solve; the gradient pass and every
+    CG iteration then stream the result SEQUENTIALLY at full bandwidth.
+    MAXC is a multiple of 8 and k lane-pads as usual, so the 3-D layout adds
+    no padding beyond what any (rows, k) array already pays."""
+    n_blocks, MAXC = take.shape
+    return B[take.reshape(-1)].reshape(n_blocks, MAXC, B.shape[1])
+
+
 def _blk_group(n_blocks: int, maxc: int, k: int, itemsize: int) -> int:
     lanes = -(-k // 128) * 128
     per_block = max(1, maxc * lanes * itemsize)
@@ -496,13 +510,16 @@ def _blk_group(n_blocks: int, maxc: int, k: int, itemsize: int) -> int:
 
 def pos_scatter_blocked(coeff: Array, B: Array, take: Array, src: Array,
                         own: Array, num_out: int, block_rows: int,
-                        diag_w: Array | None = None):
+                        diag_w: Array | None = None,
+                        rows: Array | None = None):
     """Blocked-sorted pos_scatter: out[s] += coeff[t] * B[take[t]].
 
     ``coeff`` is in ORIGINAL stream order (gathered per block via ``src``).
     With ``diag_w``: also return the Jacobi diag positive term
     sum diag_w[t] * B[take[t]]^2 from the same B gather (the fused
-    grad+diag pair, cf. pos_scatter_pair)."""
+    grad+diag pair, cf. pos_scatter_pair).
+    With ``rows`` (gather_blocked_rows output): skip the random gather and
+    stream the pre-gathered (n_blocks, MAXC, k) array sequentially."""
     n_blocks, MAXC = take.shape
     k = B.shape[1]
     dt = B.dtype
@@ -514,10 +531,13 @@ def pos_scatter_blocked(coeff: Array, B: Array, take: Array, src: Array,
         # overlapping last group recomputes a few blocks — idempotent
         # (each block's output rows depend only on its own entries)
         base = jnp.minimum(g * G, n_blocks - G)
-        take_g = jax.lax.dynamic_slice(take, (base, 0), (G, MAXC))
         src_g = jax.lax.dynamic_slice(src, (base, 0), (G, MAXC))
         own_g = jax.lax.dynamic_slice(own, (base, 0), (G, MAXC))
-        rows_g = B[take_g.reshape(-1)].reshape(G, MAXC, k)
+        if rows is not None:
+            rows_g = jax.lax.dynamic_slice(rows, (base, 0, 0), (G, MAXC, k))
+        else:
+            take_g = jax.lax.dynamic_slice(take, (base, 0), (G, MAXC))
+            rows_g = B[take_g.reshape(-1)].reshape(G, MAXC, k)
         cb_g = coeff[src_g]
         wq_g = diag_w[src_g] if diag_w is not None else None
 
@@ -546,9 +566,14 @@ def pos_scatter_blocked(coeff: Array, B: Array, take: Array, src: Array,
 
 
 def pos_hv_blocked(phi: Array, B: Array, w: Array, take: Array, src: Array,
-                   own: Array, num_out: int, block_rows: int) -> Array:
+                   own: Array, num_out: int, block_rows: int,
+                   rows: Array | None = None) -> Array:
     """Blocked-sorted fused CG positive term (pos_dot + pos_scatter in one
-    B gather):  zp[s] += w[t] * <phi[u_t], B[take_t]> * B[take_t]."""
+    B gather):  zp[s] += w[t] * <phi[u_t], B[take_t]> * B[take_t].
+
+    ``rows`` (gather_blocked_rows output): B is constant across a solve's CG
+    iterations — pass the pre-gathered stream and every iteration reads it
+    sequentially instead of paying the random gather again."""
     n_blocks, MAXC = take.shape
     k = B.shape[1]
     dt = B.dtype
@@ -558,10 +583,13 @@ def pos_hv_blocked(phi: Array, B: Array, w: Array, take: Array, src: Array,
 
     def outer(g, out):
         base = jnp.minimum(g * G, n_blocks - G)
-        take_g = jax.lax.dynamic_slice(take, (base, 0), (G, MAXC))
         src_g = jax.lax.dynamic_slice(src, (base, 0), (G, MAXC))
         own_g = jax.lax.dynamic_slice(own, (base, 0), (G, MAXC))
-        rows_g = B[take_g.reshape(-1)].reshape(G, MAXC, k)
+        if rows is not None:
+            rows_g = jax.lax.dynamic_slice(rows, (base, 0, 0), (G, MAXC, k))
+        else:
+            take_g = jax.lax.dynamic_slice(take, (base, 0), (G, MAXC))
+            rows_g = B[take_g.reshape(-1)].reshape(G, MAXC, k)
         wb_g = w[src_g]
 
         def inner(j, out):

@@ -203,6 +203,7 @@ def make_device_data(
 # pos_dot / pos_scatter are the COO positive-pass reductions with bounded
 # (chunk, k) intermediates — a full (nnz, k) gather OOMs at scale.
 from ..ops.sparse_ops import (  # noqa: E402
+    gather_blocked_rows,
     pos_dot,
     pos_hv,
     pos_hv_blocked,
@@ -259,6 +260,37 @@ class FFMSolver:
             plain_bf16 = meta.dtype == jnp.bfloat16 and not (
                 meta.blocked_bm_u or meta.blocked_bm_v)
             self.cg_precond = "none" if plain_bf16 else "jacobi"
+        # Per-solve pre-gather of the blocked stream's B rows
+        # (ops.gather_blocked_rows): B is constant across a solve, so the
+        # random gather is paid once and the grad + every CG iteration
+        # stream the result sequentially.  Random-gather cost scales with
+        # the SOURCE TABLE's row count (~8 ms/M rows from a 20k-row table
+        # vs ~34 ms from 1M rows — HBM reads are tile-granular and small
+        # tables stay hot), so auto keys on B's rows: u-side solves gather
+        # from the item cache (n rows), v-side from the user cache (m).
+        # Measured (docs/PERF.md): +73% at 1M x 500k, -4% at 200k x 20k.
+        # Also gated by the materialized stream's HBM footprint.
+        import os as _os
+        mode = _os.environ.get("OCFFM_BLK_PREGATHER", "auto").lower()
+        cap = int(_os.environ.get("OCFFM_BLK_PREGATHER_MB", 2048)) << 20
+        min_rows = int(_os.environ.get(
+            "OCFFM_BLK_PREGATHER_MIN_ROWS", 262144))
+
+        def pregather_ok(side_bm: int, take_key: str, b_rows: int) -> bool:
+            if not side_bm or take_key not in data or mode in (
+                    "0", "off", "false"):
+                return False
+            if mode in ("1", "on", "true"):
+                return True
+            nb, maxc = data[take_key].shape
+            lanes = -(-meta.hp.k // 128) * 128
+            nbytes = nb * maxc * lanes * jnp.dtype(meta.dtype).itemsize
+            return b_rows >= min_rows and nbytes <= cap
+
+        self.pregather_u = pregather_ok(
+            meta.blocked_bm_u, "blk_u_take", meta.n)
+        self.pregather_v = pregather_ok(
+            meta.blocked_bm_v, "blk_v_take", meta.m)
         # donate the carried state: P/Q/a/b/yt buffers are dead after the
         # epoch returns their successors (no-op on backends without donation)
         self._epoch = jax.jit(self._epoch_entry, donate_argnums=(0,))
@@ -450,7 +482,7 @@ class FFMSolver:
         )
 
     def _grad_cross(self, state, b: BlockInfo, first: bool,
-                    with_diag_pos: bool = False):
+                    with_diag_pos: bool = False, rows_pre=None):
         """Gradient for one table of a cross block (gd_cross, ffm.cpp:630-703).
 
         omega part via k x k Grams: T = sum_c P_c (Q_c^T Q1), oQ = Q1^T 1,
@@ -479,13 +511,19 @@ class FFMSolver:
             dense = hp.omega * (
                 (state["a"] - hp.r)[:, None] * oQ[None, :] + bQ[None, :] + gram_T
             )
-            if meta.blocked_bm_u and not with_diag_pos:
-                # blocked layout: segment-sum as MXU block matmuls.  With
-                # the Jacobi diag the fused pos_scatter_pair measures faster
-                # than the blocked double-payload form — keep it there.
-                zpos = pos_scatter_blocked(
+            if meta.blocked_bm_u and (rows_pre is not None
+                                      or not with_diag_pos):
+                # blocked layout: segment-sum as MXU block matmuls.  Without
+                # pre-gathered rows the Jacobi diag keeps the fused
+                # pos_scatter_pair (one random gather feeds both payloads —
+                # the blocked double-payload form measured slower there);
+                # with rows_pre the stream is read sequentially, so the
+                # blocked double payload wins at every dtype.
+                res = pos_scatter_blocked(
                     c, Q1, d["blk_u_take"], d["blk_u_src"], d["blk_u_own"],
-                    meta.m, meta.blocked_bm_u)
+                    meta.m, meta.blocked_bm_u,
+                    diag_w=wq if with_diag_pos else None, rows=rows_pre)
+                zpos, posq = res if with_diag_pos else (res, None)
             elif with_diag_pos:
                 zpos, posq = pos_scatter_pair(
                     c, wq, Q1, d["pos_v"], d["pos_u"], meta.m, seg_sorted=True)
@@ -503,10 +541,13 @@ class FFMSolver:
             dense = hp.omega * (
                 (state["b"] - hp.r)[:, None] * oQ[None, :] + bQ[None, :] + gram_T
             )
-            if meta.blocked_bm_v and not with_diag_pos:
-                zpos = pos_scatter_blocked(
+            if meta.blocked_bm_v and (rows_pre is not None
+                                      or not with_diag_pos):
+                res = pos_scatter_blocked(
                     c, P1, d["blk_v_take"], d["blk_v_src"], d["blk_v_own"],
-                    meta.n, meta.blocked_bm_v)
+                    meta.n, meta.blocked_bm_v,
+                    diag_w=wq if with_diag_pos else None, rows=rows_pre)
+                zpos, posq = res if with_diag_pos else (res, None)
             elif with_diag_pos:
                 zpos, posq = pos_scatter_pair(
                     c, wq, P1, d["pos_u"], d["pos_v"], meta.n)
@@ -543,7 +584,7 @@ class FFMSolver:
 
         return hv
 
-    def _hv_cross(self, state, b: BlockInfo, first: bool):
+    def _hv_cross(self, state, b: BlockInfo, first: bool, rows_pre=None):
         """Hv closure for a cross-block table (hs_cross, ffm.cpp:706-742):
         omega part via precomputed Q1^T Q1 (ffm.cpp:767-771); (1-w) part per
         positive."""
@@ -574,7 +615,7 @@ class FFMSolver:
                 dense = hp.omega * (phi @ QTQ)
                 zp = pos_hv_blocked(
                     phi, Q1, w_hv, d[pre + "take"], d[pre + "src"],
-                    d[pre + "own"], num, blk_bm)
+                    d[pre + "own"], num, blk_bm, rows=rows_pre)
                 return hp.lam * reg[:, None] * V + self._scat(
                     b, first, dense + zp, dim)
 
@@ -739,12 +780,23 @@ class FFMSolver:
         jac = self.cg_precond == "jacobi"
         posq = None
         if b.kind == "uv":
+            # B (= Q1) is constant for the whole solve: pre-gather its
+            # blocked stream once; the gradient and every CG iteration then
+            # stream it sequentially instead of re-gathering randomly.
+            rows_pre = None
+            pregather = self.pregather_u if first else self.pregather_v
+            if pregather:
+                d = self.data
+                B1 = state["Q"][b.f12] if first else state["P"][b.f12]
+                take = d["blk_u_take"] if first else d["blk_v_take"]
+                rows_pre = gather_blocked_rows(B1, take)
             if jac:
                 G, posq = self._grad_cross(state, b, first,
-                                           with_diag_pos=True)
+                                           with_diag_pos=True,
+                                           rows_pre=rows_pre)
             else:
-                G = self._grad_cross(state, b, first)
-            hv = self._hv_cross(state, b, first)
+                G = self._grad_cross(state, b, first, rows_pre=rows_pre)
+            hv = self._hv_cross(state, b, first, rows_pre=rows_pre)
         else:
             G = self._grad_self(state, b, first, sa, sb)
             hv = self._hv_self(state, b, first)

@@ -212,6 +212,44 @@ def test_blocked_layout_and_ops_match_pos_ops(rng):
                                rtol=1e-10, atol=1e-12)
 
 
+def test_blocked_pregather_rows_match(rng):
+    """Blocked ops fed pre-gathered rows (gather_blocked_rows) are bit-equal
+    to the gather-inside form: same adds in the same order, only the gather
+    is hoisted."""
+    from one_class_ffm_tpu.ops.sparse_ops import (
+        gather_blocked_rows,
+        make_blocked_layout,
+        pos_hv_blocked,
+        pos_scatter_blocked,
+    )
+
+    num, n_other, k, nnz, BM = 24, 11, 5, 93, 4
+    u = np.sort(rng.integers(0, num, size=nnz)).astype(np.int32)
+    v = rng.integers(0, n_other, size=nnz).astype(np.int32)
+    blk = make_blocked_layout(u, v, num, block_rows=BM, max_pad_ratio=50.0)
+    B = jnp.asarray(rng.normal(size=(n_other, k)))
+    phi = jnp.asarray(rng.normal(size=(num, k)))
+    coeff = jnp.asarray(rng.random(nnz))
+    wq = jnp.asarray(rng.random(nnz))
+    take = jnp.asarray(blk["take"])
+    src = jnp.asarray(blk["src"])
+    own = jnp.asarray(blk["own"])
+
+    rows = gather_blocked_rows(B, take)
+    assert rows.shape == (take.shape[0], take.shape[1], k)
+
+    ref, refq = pos_scatter_blocked(coeff, B, take, src, own, num, BM,
+                                    diag_w=wq)
+    got, gotq = pos_scatter_blocked(coeff, B, take, src, own, num, BM,
+                                    diag_w=wq, rows=rows)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(gotq), np.asarray(refq))
+
+    ref_hv = pos_hv_blocked(phi, B, wq, take, src, own, num, BM)
+    got_hv = pos_hv_blocked(phi, B, wq, take, src, own, num, BM, rows=rows)
+    np.testing.assert_array_equal(np.asarray(got_hv), np.asarray(ref_hv))
+
+
 def test_blocked_layout_rejections(rng):
     from one_class_ffm_tpu.ops.sparse_ops import make_blocked_layout
 
