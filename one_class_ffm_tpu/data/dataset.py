@@ -261,17 +261,50 @@ def pad_labels(
     n_pad: int,
     nnz_multiple: int = 1,
     dtype=np.float32,
+    shard_rows: int = 0,
 ) -> PaddedLabels:
+    """``shard_rows`` > 0: SHARD-ALIGNED stream layout for an S-way data
+    mesh (S = m_pad / shard_rows).  The u-sorted stream is split at user-row
+    boundaries and each shard's slice is padded to a common length, so an
+    even (nnz/S) sharding of the stream puts every row's positives on the
+    SAME device as the row itself — which is what lets the blocked-sorted
+    positive ops run shard-locally under shard_map (no collectives inside
+    the pass).  Pad entries keep the invariants every consumer relies on:
+    w == 0 (contributions vanish), u non-decreasing (pads carry the shard's
+    last row id), v a valid id (the true-item ghost column)."""
     u = y.row_ids().astype(np.int32)
     v = y.col.astype(np.int32)
     nnz_true = u.shape[0]
-    nnz = _round_up(max(nnz_true, 1), nnz_multiple)
-    up = np.full(nnz, y.m, dtype=np.int32)
-    vp = np.full(nnz, y.n, dtype=np.int32)
-    wp = np.zeros(nnz, dtype=dtype)
-    up[:nnz_true] = u
-    vp[:nnz_true] = v
-    wp[:nnz_true] = 1.0
+    if shard_rows and shard_rows < m_pad:
+        if m_pad % shard_rows:
+            raise ValueError(
+                f"shard_rows={shard_rows} must divide padded rows {m_pad}")
+        S = m_pad // shard_rows
+        bounds = np.arange(0, m_pad + 1, shard_rows)
+        starts = np.searchsorted(u, bounds)
+        lens = np.diff(starts)
+        L = _round_up(int(lens.max()), 8)  # per-shard stream length
+        nnz = S * L
+        up = np.repeat(bounds[1:].astype(np.int32) - 1, L)  # shard-local pad
+        vp = np.full(nnz, y.n, dtype=np.int32)
+        wp = np.zeros(nnz, dtype=dtype)
+        offs = np.arange(L, dtype=np.int64)[None, :]
+        pos = starts[:-1, None] + offs
+        valid = offs < lens[:, None]
+        srcpos = np.where(valid, np.minimum(pos, max(nnz_true - 1, 0)), 0)
+        dst = (np.arange(S, dtype=np.int64) * L)[:, None] + offs
+        if nnz_true:
+            up[dst[valid]] = u[srcpos[valid]]
+            vp[dst[valid]] = v[srcpos[valid]]
+            wp[dst[valid]] = 1.0
+    else:
+        nnz = _round_up(max(nnz_true, 1), nnz_multiple)
+        up = np.full(nnz, y.m, dtype=np.int32)
+        vp = np.full(nnz, y.n, dtype=np.int32)
+        wp = np.zeros(nnz, dtype=dtype)
+        up[:nnz_true] = u
+        vp[:nnz_true] = v
+        wp[:nnz_true] = 1.0
     cu = np.zeros(m_pad, dtype=dtype)
     cv = np.zeros(n_pad, dtype=dtype)
     np.add.at(cu, u, 1.0)

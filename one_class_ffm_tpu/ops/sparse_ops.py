@@ -429,7 +429,8 @@ def pos_hv(phi: Array, own_ids: Array, B: Array, other_ids: Array,
 
 
 def make_blocked_layout(seg_ids, take_ids, num_rows: int,
-                        block_rows: int = 256, max_pad_ratio: float = 2.0):
+                        block_rows: int = 256, max_pad_ratio: float = 2.0,
+                        shard_rows: int = 0):
     """Host-side (numpy) block-aligned view of the COO stream, segmented by
     ``seg_ids``.  An unsorted segment side is stable-argsorted first — the
     per-call coefficient permutation this induces is a cheap (nnz,) scalar
@@ -438,13 +439,23 @@ def make_blocked_layout(seg_ids, take_ids, num_rows: int,
     Returns None when the layout does not apply: num_rows not divisible by
     block_rows, or row skew would pad the stream beyond max_pad_ratio (a
     power-user block sets MAXC for everyone).
-    """
+
+    ``shard_rows`` > 0 (requires a SHARD-ALIGNED stream, pad_labels
+    shard_rows=...): emit ``src`` SHARD-LOCALLY — relative to the owning
+    shard's stream slice of length nnz/S — so the blocked ops can run under
+    shard_map with each device gathering coefficients only from its own
+    slice.  Requires the stream already sorted by ``seg_ids`` (the aligned
+    layout is) and block/shard boundaries to nest (shard_rows % block_rows
+    == 0)."""
     import numpy as np
 
     if block_rows <= 0 or num_rows % block_rows or num_rows == 0:
         return None
     nnz = int(seg_ids.shape[0])
     if nnz == 0:
+        return None
+    if shard_rows and (shard_rows % block_rows or num_rows % shard_rows
+                       or nnz % (num_rows // shard_rows)):
         return None
     seg = np.asarray(seg_ids)
     order = None
@@ -471,8 +482,24 @@ def make_blocked_layout(seg_ids, take_ids, num_rows: int,
         block_rows,  # pad marker: one-hot row of all zeros
     ).astype(np.int32)
     take = np.where(valid, np.asarray(take_ids)[src], 0).astype(np.int32)
-    return dict(src=src, own=own_local, take=take,
-                block_rows=block_rows, maxc=MAXC)
+    out = dict(src=src, own=own_local, take=take,
+               block_rows=block_rows, maxc=MAXC)
+    if shard_rows:
+        if order is not None:
+            return None  # shard-local src needs the seg-sorted stream
+        L = nnz // (num_rows // shard_rows)
+        lo = (np.arange(n_blocks, dtype=np.int64)
+              // (shard_rows // block_rows) * L)[:, None].astype(np.int32)
+        if not (np.all(src[valid] >= np.broadcast_to(lo, src.shape)[valid])
+                and np.all(src[valid]
+                           < np.broadcast_to(lo + L, src.shape)[valid])):
+            raise ValueError(
+                "stream is not shard-aligned: a block's entries cross its "
+                "shard's stream slice (build labels with pad_labels "
+                "shard_rows=...)")
+        out["src_abs"] = src
+        out["src"] = np.where(valid, src - lo, 0).astype(np.int32)
+    return out
 
 
 def _blocked_dot(a: Array, b: Array, out_dtype):
@@ -519,10 +546,12 @@ def pos_scatter_blocked(coeff: Array, B: Array, take: Array, src: Array,
     sum diag_w[t] * B[take[t]]^2 from the same B gather (the fused
     grad+diag pair, cf. pos_scatter_pair).
     With ``rows`` (gather_blocked_rows output): skip the random gather and
-    stream the pre-gathered (n_blocks, MAXC, k) array sequentially."""
-    n_blocks, MAXC = take.shape
-    k = B.shape[1]
-    dt = B.dtype
+    stream the pre-gathered (n_blocks, MAXC, k) array sequentially (``B``
+    and ``take`` may then be None — e.g. under shard_map where only the
+    pre-gathered local stream exists)."""
+    n_blocks, MAXC = own.shape
+    k = rows.shape[2] if rows is not None else B.shape[1]
+    dt = rows.dtype if rows is not None else B.dtype
     G = _blk_group(n_blocks, MAXC, k, jnp.dtype(dt).itemsize)
     n_groups = -(-n_blocks // G)
     iota = jax.lax.broadcasted_iota(jnp.int32, (MAXC, block_rows), 1)
@@ -567,42 +596,135 @@ def pos_scatter_blocked(coeff: Array, B: Array, take: Array, src: Array,
 
 def pos_hv_blocked(phi: Array, B: Array, w: Array, take: Array, src: Array,
                    own: Array, num_out: int, block_rows: int,
-                   rows: Array | None = None) -> Array:
+                   rows: Array | None = None,
+                   w_blk: Array | None = None, w_scale: float = 1.0,
+                   dense_mat: Array | None = None) -> Array:
     """Blocked-sorted fused CG positive term (pos_dot + pos_scatter in one
     B gather):  zp[s] += w[t] * <phi[u_t], B[take_t]> * B[take_t].
 
     ``rows`` (gather_blocked_rows output): B is constant across a solve's CG
     iterations — pass the pre-gathered stream and every iteration reads it
-    sequentially instead of paying the random gather again."""
-    n_blocks, MAXC = take.shape
-    k = B.shape[1]
-    dt = B.dtype
+    sequentially instead of paying the random gather again.
+    ``w_blk``: the weights in PRE-PERMUTED (n_blocks, MAXC) form (built once
+    at data-assembly time — pos_w is static), scaled by ``w_scale``; skips
+    the per-iteration random scalar gather w[src].  (w_scale * w)[src] ==
+    (w[src]) * w_scale exactly, so this path is bit-equal.
+    ``dense_mat``: optional (k, k) matrix; adds phi_block @ dense_mat to each
+    output block — fuses the CG omega term phi @ (omega Q1^T Q1) into the
+    same pass (accumulated in f32 with the positive term, then cast once).
+    With both ``rows`` and ``w_blk``, ``B``/``w``/``take``/``src`` may be
+    None (the shard_map-local form)."""
+    n_blocks, MAXC = own.shape
+    k = rows.shape[2] if rows is not None else B.shape[1]
+    dt = rows.dtype if rows is not None else B.dtype
     G = _blk_group(n_blocks, MAXC, k, jnp.dtype(dt).itemsize)
     n_groups = -(-n_blocks // G)
     iota = jax.lax.broadcasted_iota(jnp.int32, (MAXC, block_rows), 1)
+    acc_t = jnp.promote_types(dt, jnp.float32)
 
     def outer(g, out):
         base = jnp.minimum(g * G, n_blocks - G)
-        src_g = jax.lax.dynamic_slice(src, (base, 0), (G, MAXC))
         own_g = jax.lax.dynamic_slice(own, (base, 0), (G, MAXC))
         if rows is not None:
             rows_g = jax.lax.dynamic_slice(rows, (base, 0, 0), (G, MAXC, k))
         else:
             take_g = jax.lax.dynamic_slice(take, (base, 0), (G, MAXC))
             rows_g = B[take_g.reshape(-1)].reshape(G, MAXC, k)
-        wb_g = w[src_g]
+        if w_blk is not None:
+            wb_g = jax.lax.dynamic_slice(
+                w_blk, (base, 0), (G, MAXC)) * jnp.asarray(w_scale, dt)
+        else:
+            src_g = jax.lax.dynamic_slice(src, (base, 0), (G, MAXC))
+            wb_g = w[src_g]
 
         def inner(j, out):
             rows = rows_g[j]
             ohm = (own_g[j][:, None] == iota).astype(dt)
             row0 = (base + j) * block_rows
-            phig = _blocked_dot(ohm, jax.lax.dynamic_slice(
-                phi, (row0, 0), (block_rows, k)), dt)
+            phib = jax.lax.dynamic_slice(phi, (row0, 0), (block_rows, k))
+            phig = _blocked_dot(ohm, phib, dt)
             pq = jnp.sum(phig * rows, axis=1) * wb_g[j]
-            blockv = _blocked_dot(ohm.T, pq[:, None] * rows, dt)
-            return jax.lax.dynamic_update_slice(out, blockv, (row0, 0))
+            blockv = jax.lax.dot(ohm.T, pq[:, None] * rows,
+                                 preferred_element_type=acc_t)
+            if dense_mat is not None:
+                blockv = blockv + jax.lax.dot(
+                    phib, dense_mat, preferred_element_type=acc_t)
+            return jax.lax.dynamic_update_slice(
+                out, blockv.astype(dt), (row0, 0))
 
         return jax.lax.fori_loop(0, G, inner, out)
 
     return jax.lax.fori_loop(0, n_groups, outer,
                              jnp.zeros((num_out, k), dt))
+
+
+def _hv_blk_kernel(w_scale: float, rows_ref, own_ref, w_ref, phi_ref,
+                   dense_ref, out_ref):
+    """One output block of the fused CG positive term (see
+    pos_hv_blocked_pallas).  Everything is block-local: the blocked layout
+    gives each window of BM output rows a contiguous padded slice of the
+    stream, so there is no scatter at all — out block i depends only on
+    stream block i and phi block i.  Pad entries carry own == BM, whose
+    one-hot column is all zeros, so they vanish from both matmuls.
+
+    Every intermediate is kept 2-D (Mosaic dislikes 1-D vectors) and the
+    one-hot is built TRANSPOSED, (BM, MAXC), so both MXU contractions need
+    no transpose copy; the weights fold into the one-hot's columns instead
+    of into pq (same product of the same floats per term)."""
+    dt = out_ref.dtype
+    acc_t = jnp.promote_types(dt, jnp.float32)  # f32 floor, keeps f64
+    BM = out_ref.shape[0]
+    rows = rows_ref[0]                                    # (MAXC, k)
+    MAXC = rows.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BM, MAXC), 0)
+    ohm_t = (own_ref[...] == iota).astype(dt)             # (BM, MAXC)
+    phib = phi_ref[...]                                   # (BM, k)
+    # phig = ohm^T-gather of phi rows BY MATMUL (MXU): contract the BM dim
+    phig = jax.lax.dot_general(
+        ohm_t, phib, (((0,), (0,)), ((), ())),
+        preferred_element_type=acc_t).astype(dt)          # (MAXC, k)
+    pq = jnp.sum(phig * rows, axis=1, keepdims=True)      # (MAXC, 1)
+    lhs = ohm_t * (w_ref[...] * jnp.asarray(w_scale, dt))
+    # out = (w-weighted one-hot) @ (pq * rows) : segment-sum BY MATMUL
+    acc = jax.lax.dot(lhs, pq * rows, preferred_element_type=acc_t)
+    acc = acc + jax.lax.dot(phib, dense_ref[...],
+                            preferred_element_type=acc_t)
+    out_ref[...] = acc.astype(dt)
+
+
+def pos_hv_blocked_pallas(phi: Array, rows: Array, own: Array, w_blk: Array,
+                          dense_mat: Array, num_out: int, block_rows: int,
+                          w_scale: float = 1.0,
+                          interpret: bool = False) -> Array:
+    """Mosaic kernel for the per-CG-iteration positive pass + fused omega
+    term:
+
+        out[i*BM:(i+1)*BM] = OneHot(own_i)^T @ (w_i * <phi_i-gather, rows_i>
+                              * rows_i)  +  phi_i @ dense_mat
+
+    Requires the pre-gathered stream (``rows``, gather_blocked_rows) and the
+    pre-permuted weights (``w_blk`` — both static per solve), so the kernel
+    touches NO random indices: every input is streamed sequentially block by
+    block and pipelined by Pallas's automatic double-buffered DMA, and each
+    grid step's output block is written directly (no dynamic_update_slice
+    round trip through HBM).  Mosaic cannot lower vectorized int indexing,
+    hence the one-hot matmul formulation (cf. module docstring)."""
+    from jax.experimental import pallas as pl
+
+    n_blocks, MAXC, k = rows.shape
+    dt = rows.dtype
+    kern = functools.partial(_hv_blk_kernel, w_scale)
+    return pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, MAXC, k), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, MAXC), lambda i: (i, 0)),
+            pl.BlockSpec((1, MAXC), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0)),
+            pl.BlockSpec((k, k), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_rows, k), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_out, k), dt),
+        interpret=interpret,
+    )(rows, own, w_blk, phi, dense_mat)

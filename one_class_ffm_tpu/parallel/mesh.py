@@ -93,6 +93,11 @@ def shard_data(data: Dict[str, Any], mesh: Mesh, axis: str = "data") -> Dict[str
         out[key] = _put(data[key], row)
     for key in ("reg_u", "reg_v"):
         out[key] = tuple(_put(a, rep) for a in data[key])
+    # shard-aligned blocked layout (leading dim = blocks, nested in shards)
+    for key in ("blk_u_take", "blk_u_src", "blk_u_own", "blk_u_w",
+                "blk_v_take", "blk_v_src", "blk_v_own", "blk_v_w"):
+        if key in data:
+            out[key] = _put(data[key], row)
     return out
 
 

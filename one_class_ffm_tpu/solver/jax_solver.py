@@ -69,6 +69,12 @@ class ProblemMeta:
     # (ops.pos_hv_blocked / pos_scatter_blocked).  Value = rows per block.
     blocked_bm_u: int = 0
     blocked_bm_v: int = 0
+    # > 1: the stream is SHARD-ALIGNED over this many data-mesh shards
+    # (pad_labels shard_rows=...) and the u-side blocked layout carries
+    # shard-LOCAL src indices — the blocked positive passes then run under
+    # shard_map, each device streaming only its own slice (the solver must
+    # be constructed with the mesh).  v-side blocked is off in this mode.
+    blocked_shards: int = 1
 
     def pad_d(self, d: int) -> int:
         """Padded table row dim.  Pad rows are never indexed by any feature,
@@ -89,6 +95,7 @@ def make_device_data(
     dtype=jnp.float32,
     d_multiple: int = 1,
     blocked_bm: int = 0,
+    blocked_shards: int = 1,
 ) -> Tuple[ProblemMeta, Dict[str, Any]]:
     """Assemble the device array dict + static meta from host padded views.
 
@@ -106,8 +113,14 @@ def make_device_data(
     ``blocked_bm`` > 0 additionally builds block-aligned views of the
     positive stream for BOTH segment sides (blk_u_*/blk_v_* arrays; see
     ops.make_blocked_layout) where they apply (row count divisible, skew
-    within budget) — single-device only; the mesh path keeps the plain COO
-    ops.
+    within budget).
+
+    ``blocked_shards`` S > 1: the labels were built SHARD-ALIGNED
+    (pad_labels shard_rows = u.m/S) and the u-side blocked layout is
+    emitted with shard-local src, so its positive passes run under
+    shard_map on an S-way data mesh (construct FFMSolver with mesh=...).
+    The v side keeps the plain COO ops (an item's positives span user
+    shards, so no local layout exists for it).
     """
     def ident_flags(pf: PaddedFields) -> Tuple[bool, ...]:
         """Strict identity-encoded fields: row i's single feature is
@@ -134,8 +147,13 @@ def make_device_data(
     if blocked_bm:
         from ..ops.sparse_ops import make_blocked_layout
 
-        blk = make_blocked_layout(y.u, y.v, u.m, blocked_bm)
-        blk_v = make_blocked_layout(y.v, y.u, v.m, blocked_bm)
+        if blocked_shards > 1:
+            blk = make_blocked_layout(
+                y.u, y.v, u.m, blocked_bm,
+                shard_rows=u.m // blocked_shards)
+        else:
+            blk = make_blocked_layout(y.u, y.v, u.m, blocked_bm)
+            blk_v = make_blocked_layout(y.v, y.u, v.m, blocked_bm)
 
     meta = ProblemMeta(
         layout=layout,
@@ -151,6 +169,7 @@ def make_device_data(
         ident_v=ident_flags(v),
         blocked_bm_u=blocked_bm if blk is not None else 0,
         blocked_bm_v=blocked_bm if blk_v is not None else 0,
+        blocked_shards=blocked_shards if blk is not None else 1,
     )
 
     def regs(pf: PaddedFields):
@@ -184,10 +203,16 @@ def make_device_data(
         data["blk_u_take"] = jnp.asarray(blk["take"])
         data["blk_u_src"] = jnp.asarray(blk["src"])
         data["blk_u_own"] = jnp.asarray(blk["own"])
+        # pre-permuted pad-mask weights: pos_w is static, so the per-CG-
+        # iteration random scalar gather w[src] is paid once, here
+        # (src_abs: the shard-local layout's src is slice-relative)
+        data["blk_u_w"] = jnp.asarray(
+            y.w[blk.get("src_abs", blk["src"])], dtype)
     if blk_v is not None:
         data["blk_v_take"] = jnp.asarray(blk_v["take"])
         data["blk_v_src"] = jnp.asarray(blk_v["src"])
         data["blk_v_own"] = jnp.asarray(blk_v["own"])
+        data["blk_v_w"] = jnp.asarray(y.w[blk_v["src"]], dtype)
     return meta, data
 
 
@@ -207,6 +232,7 @@ from ..ops.sparse_ops import (  # noqa: E402
     pos_dot,
     pos_hv,
     pos_hv_blocked,
+    pos_hv_blocked_pallas,
     pos_scatter,
     pos_scatter_blocked,
     pos_scatter_pair,
@@ -245,9 +271,16 @@ class FFMSolver:
         state = solver.epoch(state)          # jitted end-to-end
     """
 
-    def __init__(self, meta: ProblemMeta, data: Dict[str, Any]):
+    def __init__(self, meta: ProblemMeta, data: Dict[str, Any],
+                 mesh=None, data_axis: str = "data"):
         self.meta = meta
         self.data = data
+        self.mesh = mesh
+        self.data_axis = data_axis
+        if meta.blocked_shards > 1 and mesh is None:
+            raise ValueError(
+                "blocked_shards > 1 (shard-aligned blocked layout) requires "
+                "constructing FFMSolver with mesh=")
         self.blocks: List[BlockInfo] = meta.layout.all_blocks()
         # "auto": Jacobi PCG everywhere EXCEPT bf16 storage with plain COO
         # ops — there the bf16-accumulated Hv noise defeats the
@@ -291,6 +324,35 @@ class FFMSolver:
             meta.blocked_bm_u, "blk_u_take", meta.n)
         self.pregather_v = pregather_ok(
             meta.blocked_bm_v, "blk_v_take", meta.m)
+        # Mosaic kernel for the per-CG-iteration blocked positive pass
+        # (ops.pos_hv_blocked_pallas): needs the pre-gathered stream and the
+        # pre-permuted weights, so enabling it forces pregather for that
+        # side (subject to the same footprint cap).  "auto" resolves to on
+        # for TPU backends.
+        pmode = _os.environ.get("OCFFM_PALLAS_HV", "auto").lower()
+        try:
+            on_tpu = jax.default_backend() not in ("cpu",)
+        except Exception:
+            on_tpu = False
+        pallas_want = (pmode in ("1", "on", "true")
+                       or (pmode == "auto" and on_tpu))
+
+        def pallas_ok(side_bm: int, pre: str) -> bool:
+            if not pallas_want or not side_bm or pre + "w" not in data:
+                return False
+            nb, maxc = data[pre + "take"].shape
+            lanes = -(-meta.hp.k // 128) * 128
+            nbytes = nb * maxc * lanes * jnp.dtype(meta.dtype).itemsize
+            return nbytes <= cap
+
+        self.pallas_hv_u = pallas_ok(meta.blocked_bm_u, "blk_u_")
+        self.pallas_hv_v = pallas_ok(meta.blocked_bm_v, "blk_v_")
+        self.pregather_u = self.pregather_u or self.pallas_hv_u
+        self.pregather_v = self.pregather_v or self.pallas_hv_v
+        if meta.blocked_shards > 1:
+            # the shard_map-local blocked ops have no access to the (row-
+            # sharded) B table — the pre-gathered stream is mandatory
+            self.pregather_u = True
         # donate the carried state: P/Q/a/b/yt buffers are dead after the
         # epoch returns their successors (no-op on backends without donation)
         self._epoch = jax.jit(self._epoch_entry, donate_argnums=(0,))
@@ -481,6 +543,64 @@ class FFMSolver:
             b, first, z[:, None] * Q1, T.shape[0]
         )
 
+    # -- shard-aligned blocked positive passes (blocked_shards > 1) ----------
+    #
+    # The shard-aligned stream (pad_labels shard_rows=) puts every user
+    # row's positives on the row's own shard, and the blocked layout's src
+    # is shard-LOCAL — so the blocked passes need no communication at all:
+    # shard_map runs the identical per-block one-hot MXU math (or the
+    # Mosaic kernel) device-locally.  The only collective in a sharded
+    # solve is the all-gather hidden in the once-per-solve rows_pre gather
+    # (B is row-sharded) plus the k x k Gram psums GSPMD already inserts.
+
+    def _shard_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        ax = self.data_axis
+        return P(ax), P(ax, None), P(ax, None, None), P()
+
+    def _scatter_blocked_sharded(self, c, rows_pre, wq=None):
+        """pos_scatter_blocked under shard_map (u side, gradient pass)."""
+        meta, d = self.meta, self.data
+        vec, blk2, blk3, rep = self._shard_specs()
+        m_l = meta.m // meta.blocked_shards
+        BM = meta.blocked_bm_u
+        with_diag = wq is not None
+
+        def local(c_l, src_l, own_l, rows_l, wq_l):
+            return pos_scatter_blocked(
+                c_l, None, None, src_l, own_l, m_l, BM,
+                diag_w=wq_l if with_diag else None, rows=rows_l)
+
+        out_specs = (blk2, blk2) if with_diag else blk2
+        fn = jax.shard_map(local, mesh=self.mesh,
+                           in_specs=(vec, blk2, blk2, blk3, vec),
+                           out_specs=out_specs, check_vma=False)
+        return fn(c, d["blk_u_src"], d["blk_u_own"], rows_pre,
+                  wq if with_diag else c)
+
+    def _hv_blocked_sharded(self, phi, rows_pre, dmat, w_scale):
+        """pos_hv_blocked / the Mosaic kernel under shard_map (u side, one
+        CG iteration's positive + fused omega term)."""
+        meta, d = self.meta, self.data
+        vec, blk2, blk3, rep = self._shard_specs()
+        m_l = meta.m // meta.blocked_shards
+        BM = meta.blocked_bm_u
+        use_pallas = self.pallas_hv_u
+
+        def local(phi_l, own_l, rows_l, w_l, dm):
+            if use_pallas:
+                return pos_hv_blocked_pallas(
+                    phi_l, rows_l, own_l, w_l, dm, m_l, BM, w_scale=w_scale)
+            return pos_hv_blocked(
+                phi_l, None, None, None, None, own_l, m_l, BM,
+                rows=rows_l, w_blk=w_l, w_scale=w_scale, dense_mat=dm)
+
+        fn = jax.shard_map(local, mesh=self.mesh,
+                           in_specs=(blk2, blk2, blk3, blk2, rep),
+                           out_specs=blk2, check_vma=False)
+        return fn(phi, d["blk_u_own"], rows_pre, d["blk_u_w"], dmat)
+
     def _grad_cross(self, state, b: BlockInfo, first: bool,
                     with_diag_pos: bool = False, rows_pre=None):
         """Gradient for one table of a cross block (gd_cross, ffm.cpp:630-703).
@@ -519,10 +639,14 @@ class FFMSolver:
                 # the blocked double-payload form measured slower there);
                 # with rows_pre the stream is read sequentially, so the
                 # blocked double payload wins at every dtype.
-                res = pos_scatter_blocked(
-                    c, Q1, d["blk_u_take"], d["blk_u_src"], d["blk_u_own"],
-                    meta.m, meta.blocked_bm_u,
-                    diag_w=wq if with_diag_pos else None, rows=rows_pre)
+                if meta.blocked_shards > 1:
+                    res = self._scatter_blocked_sharded(
+                        c, rows_pre, wq=wq if with_diag_pos else None)
+                else:
+                    res = pos_scatter_blocked(
+                        c, Q1, d["blk_u_take"], d["blk_u_src"],
+                        d["blk_u_own"], meta.m, meta.blocked_bm_u,
+                        diag_w=wq if with_diag_pos else None, rows=rows_pre)
                 zpos, posq = res if with_diag_pos else (res, None)
             elif with_diag_pos:
                 zpos, posq = pos_scatter_pair(
@@ -606,18 +730,39 @@ class FFMSolver:
         blk_bm = meta.blocked_bm_u if first else meta.blocked_bm_v
         if blk_bm:
             # blocked layout: pos_dot + pos_scatter fused into one
-            # B-row gather + two one-hot MXU matmuls per row block
+            # B-row gather + two one-hot MXU matmuls per row block.  The
+            # omega term phi @ (omega QTQ) is fused into the same pass
+            # (dense_mat), and the static weights come pre-permuted
+            # (blk_*_w) so no per-iteration random access remains; with the
+            # pre-gathered stream the whole pass is sequential streaming —
+            # the Mosaic kernel form (pallas_hv) then writes each output
+            # block in place with double-buffered DMA.
             pre = "blk_u_" if first else "blk_v_"
             w_hv = (1.0 - hp.omega) * w_pos
+            w_blk = d.get(pre + "w")
+            w_scale = 1.0 - hp.omega
+            dmat = (hp.omega * QTQ).astype(meta.dtype)
+            use_pallas = ((self.pallas_hv_u if first else self.pallas_hv_v)
+                          and rows_pre is not None and w_blk is not None)
+
+            sharded = meta.blocked_shards > 1
 
             def hv_blocked(V: Array) -> Array:
                 phi = self._proj(b, first, V)  # (rows, k)
-                dense = hp.omega * (phi @ QTQ)
-                zp = pos_hv_blocked(
-                    phi, Q1, w_hv, d[pre + "take"], d[pre + "src"],
-                    d[pre + "own"], num, blk_bm, rows=rows_pre)
+                if sharded:
+                    zp = self._hv_blocked_sharded(
+                        phi, rows_pre, dmat, w_scale)
+                elif use_pallas:
+                    zp = pos_hv_blocked_pallas(
+                        phi, rows_pre, d[pre + "own"], w_blk, dmat,
+                        num, blk_bm, w_scale=w_scale)
+                else:
+                    zp = pos_hv_blocked(
+                        phi, Q1, w_hv, d[pre + "take"], d[pre + "src"],
+                        d[pre + "own"], num, blk_bm, rows=rows_pre,
+                        w_blk=w_blk, w_scale=w_scale, dense_mat=dmat)
                 return hp.lam * reg[:, None] * V + self._scat(
-                    b, first, dense + zp, dim)
+                    b, first, zp, dim)
 
             return hv_blocked
 
@@ -790,6 +935,18 @@ class FFMSolver:
                 B1 = state["Q"][b.f12] if first else state["P"][b.f12]
                 take = d["blk_u_take"] if first else d["blk_v_take"]
                 rows_pre = gather_blocked_rows(B1, take)
+                if first and self.meta.blocked_shards > 1:
+                    # the only collective of a sharded blocked solve: B is
+                    # row-sharded, so this gather all-gathers it once per
+                    # solve; pin the result to the block sharding the
+                    # shard_map passes expect
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    rows_pre = jax.lax.with_sharding_constraint(
+                        rows_pre,
+                        NamedSharding(self.mesh, P(self.data_axis,
+                                                   None, None)))
             if jac:
                 G, posq = self._grad_cross(state, b, first,
                                            with_diag_pos=True,

@@ -83,10 +83,15 @@ class TrainConfig:
     # winners per config), "jacobi", or "none" (reference-exact plain CG)
     cg_precond: str = "auto"
     # rows per block for the blocked-sorted positive ops (u-side segment
-    # sums as one-hot MXU matmuls).  0 disables.  Single-device only — the
-    # mesh path keeps the plain COO ops; auto-disabled when the stream's
-    # row skew would over-pad (ops.make_blocked_layout).
+    # sums as one-hot MXU matmuls).  0 disables.  Auto-disabled when the
+    # stream's row skew would over-pad (ops.make_blocked_layout).  Under a
+    # data mesh the u-side runs SHARD-ALIGNED (pad_labels shard_rows= +
+    # shard_map-local blocked ops — no per-iteration collectives); the
+    # v side keeps the plain COO ops there.
     blocked_bm: int = 256
+    # internal: set by Trainer under a data mesh — the stream is laid out
+    # shard-aligned over this many shards (0 = flat layout)
+    stream_shards: int = 0
 
     def hyper(self) -> HyperParams:
         return HyperParams(
@@ -157,7 +162,11 @@ def load_problem(cfg: TrainConfig) -> LoadedData:
         indptr=_rebuild_indptr(uu[keep], u_fd.m),
         col=vv[keep],
     )
-    y_pad = pad_labels(y, u_pad.m, v_pad.m, nnz_multiple=mult * 8, dtype=dt)
+    y_pad = pad_labels(
+        y, u_pad.m, v_pad.m, nnz_multiple=mult * 8, dtype=dt,
+        shard_rows=(u_pad.m // cfg.stream_shards
+                    if cfg.stream_shards > 1 else 0),
+    )
 
     uva_pad = None
     va_labels = None
@@ -221,11 +230,17 @@ class Trainer:
         if self.mesh is not None:
             n_data = int(self.mesh.shape.get("data", 1))
             n_model = int(self.mesh.shape.get("model", 1))
+            # u-side blocked ops stay on under the mesh via the shard-
+            # aligned stream (pad_labels shard_rows=) + shard_map-local
+            # passes; rows must divide n_data * blocked_bm so shard and
+            # block boundaries nest.  v side falls back to plain COO ops.
+            row_mult = n_data * cfg.blocked_bm if cfg.blocked_bm else n_data
             cfg = dataclasses.replace(
                 cfg,
-                row_multiple=_lcm(max(1, cfg.row_multiple), n_data),
+                row_multiple=_lcm(max(1, cfg.row_multiple), row_mult),
                 eval_chunk=_lcm(max(1, cfg.eval_chunk), n_data),
-                blocked_bm=0,  # mesh path keeps the plain COO ops
+                stream_shards=n_data if (cfg.blocked_bm and n_data > 1)
+                else 0,
             )
         elif cfg.blocked_bm > 0:
             # user rows must divide the block size for the blocked layout
@@ -240,13 +255,14 @@ class Trainer:
         meta, dev = make_device_data(
             d.u_pad, d.v_pad, d.y_pad, d.layout, cfg.hyper(), dtype=dtype,
             d_multiple=n_model, blocked_bm=cfg.blocked_bm,
+            blocked_shards=max(1, cfg.stream_shards),
         )
         if self.mesh is not None:
             from .parallel.mesh import shard_data
 
             dev = shard_data(dev, self.mesh)
         self.meta = meta
-        self.solver = FFMSolver(meta, dev)
+        self.solver = FFMSolver(meta, dev, mesh=self.mesh)
         self.evaluator = None
         if d.uva_pad is not None and d.va_labels:
             emeta, edata = make_eval_data(

@@ -96,11 +96,13 @@ def dense_to_padded(X, m_pad=None, dtype=np.float64):
 
 
 def to_device_problem(prob, row_pad=0, dtype=np.float64, multiple=1,
-                      d_multiple=1, blocked_bm=0):
+                      d_multiple=1, blocked_bm=0, blocked_shards=1):
     """OracleProblem -> (meta, data) for FFMSolver, optionally padding rows.
 
     ``multiple``: round padded row counts and nnz up to this multiple (for
-    sharding tests on an N-device mesh)."""
+    sharding tests on an N-device mesh).  ``blocked_shards`` > 1: build the
+    labels SHARD-ALIGNED via the library pad_labels (shard_rows=) so the
+    blocked layout can run under shard_map."""
     import jax.numpy as jnp
     from one_class_ffm_tpu.data.dataset import PaddedFields, PaddedLabels
     from one_class_ffm_tpu.solver.jax_solver import make_device_data
@@ -131,23 +133,36 @@ def to_device_problem(prob, row_pad=0, dtype=np.float64, multiple=1,
     v = side(prob.Xv, prob.freq_v, n_pad)
     uu, vv = np.nonzero(prob.pos)
     nnz_true = uu.size
-    nnz = up(nnz_true + (3 if row_pad else 0))
-    pu = np.full(nnz, m, dtype=np.int32)
-    pv = np.full(nnz, n, dtype=np.int32)
-    pw = np.zeros(nnz, dtype=dtype)
-    pu[:nnz_true] = uu
-    pv[:nnz_true] = vv
-    pw[:nnz_true] = 1.0
-    cu = np.zeros(m_pad, dtype=dtype)
-    cv = np.zeros(n_pad, dtype=dtype)
-    np.add.at(cu, uu, 1.0)
-    np.add.at(cv, vv, 1.0)
-    y = PaddedLabels(
-        nnz=nnz, nnz_true=nnz_true, u=pu, v=pv, w=pw, count_u=cu, count_v=cv
-    )
+    if blocked_shards > 1:
+        from one_class_ffm_tpu.data.dataset import Interactions, pad_labels
+
+        indptr = np.zeros(m + 1, dtype=np.int64)
+        np.add.at(indptr, uu + 1, 1)
+        y = pad_labels(
+            Interactions(m=m, n=n, indptr=np.cumsum(indptr), col=vv),
+            m_pad, n_pad, dtype=dtype,
+            shard_rows=m_pad // blocked_shards,
+        )
+    else:
+        nnz = up(nnz_true + (3 if row_pad else 0))
+        pu = np.full(nnz, m, dtype=np.int32)
+        pv = np.full(nnz, n, dtype=np.int32)
+        pw = np.zeros(nnz, dtype=dtype)
+        pu[:nnz_true] = uu
+        pv[:nnz_true] = vv
+        pw[:nnz_true] = 1.0
+        cu = np.zeros(m_pad, dtype=dtype)
+        cv = np.zeros(n_pad, dtype=dtype)
+        np.add.at(cu, uu, 1.0)
+        np.add.at(cv, vv, 1.0)
+        y = PaddedLabels(
+            nnz=nnz, nnz_true=nnz_true, u=pu, v=pv, w=pw,
+            count_u=cu, count_v=cv
+        )
     return make_device_data(
         u, v, y, prob.layout, prob.hp, dtype=jnp.float64,
         d_multiple=d_multiple, blocked_bm=blocked_bm,
+        blocked_shards=blocked_shards,
     )
 
 

@@ -123,6 +123,67 @@ def test_pad_labels(tmp_path):
     assert (pl.u[4:] == 3).all() and (pl.v[4:] == 3).all()
 
 
+def test_pad_labels_shard_aligned():
+    """shard_rows layout: every shard's rows own a contiguous equal-length
+    slice of the stream, u stays non-decreasing, pads carry w == 0 and the
+    owning shard's last row id, and true entries/counts are preserved."""
+    from one_class_ffm_tpu.data.dataset import Interactions
+
+    rng = np.random.default_rng(3)
+    m, n, S = 32, 9, 4
+    counts = rng.integers(0, 6, size=m)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    col = rng.integers(0, n, size=indptr[-1])
+    y = Interactions(m=m, n=n, indptr=indptr, col=col)
+    pl = pad_labels(y, m_pad=m, n_pad=n + 1, shard_rows=m // S)
+    L = pl.nnz // S
+    assert pl.nnz_true == indptr[-1] and pl.w.sum() == indptr[-1]
+    R = m // S
+    for s in range(S):
+        sl = slice(s * L, (s + 1) * L)
+        us, ws = pl.u[sl], pl.w[sl]
+        assert np.all(np.diff(us) >= 0)  # non-decreasing inside the shard
+        assert np.all((us >= s * R) & (us < (s + 1) * R))
+        real = ws == 1.0
+        # real entries reproduce the shard's true stream
+        want_u = np.repeat(np.arange(s * R, (s + 1) * R), counts[s * R:(s + 1) * R])
+        np.testing.assert_array_equal(us[real], want_u)
+        assert np.all(us[~real] == (s + 1) * R - 1)  # pads: shard's last row
+        assert np.all(pl.v[sl][~real] == n)  # ghost item id
+    # global non-decreasing (plain ops' seg_sorted hint stays valid)
+    assert np.all(np.diff(pl.u) >= 0)
+
+
+def test_blocked_layout_shard_local_src():
+    """shard_rows layout emits src relative to the owning shard's stream
+    slice; reassembling src + shard offset reproduces the global layout."""
+    from one_class_ffm_tpu.data.dataset import Interactions
+    from one_class_ffm_tpu.ops.sparse_ops import make_blocked_layout
+
+    rng = np.random.default_rng(5)
+    m, n, S, BM = 32, 9, 4, 4
+    counts = rng.integers(0, 6, size=m)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    col = rng.integers(0, n, size=indptr[-1])
+    y = Interactions(m=m, n=n, indptr=indptr, col=col)
+    pl = pad_labels(y, m_pad=m, n_pad=n + 1, shard_rows=m // S)
+    blk = make_blocked_layout(pl.u, pl.v, m, BM, max_pad_ratio=50.0,
+                              shard_rows=m // S)
+    assert blk is not None and "src_abs" in blk
+    L = pl.nnz // S
+    n_blocks = m // BM
+    lo = (np.arange(n_blocks) // ((m // S) // BM) * L)[:, None]
+    valid = blk["own"] < BM
+    np.testing.assert_array_equal(
+        (blk["src"] + lo)[valid], blk["src_abs"][valid])
+    assert blk["src"].max() < L
+    # global (non-shard) build agrees on take/own
+    g = make_blocked_layout(pl.u, pl.v, m, BM, max_pad_ratio=50.0)
+    np.testing.assert_array_equal(blk["own"], g["own"])
+    np.testing.assert_array_equal(blk["take"], g["take"])
+    np.testing.assert_array_equal(blk["src_abs"][valid], g["src"][valid])
+
+
 def test_vectorized_generator_structure():
     """generate_vectorized produces a valid, class-structured dataset fast."""
     import time

@@ -250,6 +250,70 @@ def test_blocked_pregather_rows_match(rng):
     np.testing.assert_array_equal(np.asarray(got_hv), np.asarray(ref_hv))
 
 
+def test_blocked_hv_w_blk_and_dense_fusion(rng):
+    """The pre-permuted weight path (w_blk) is bit-equal to the w[src] form
+    ((s*w)[src] == w[src]*s exactly); the fused dense term (dense_mat)
+    matches dense + zp to f32 tolerance (f32 accumulation, one cast)."""
+    from one_class_ffm_tpu.ops.sparse_ops import (
+        make_blocked_layout,
+        pos_hv_blocked,
+    )
+
+    num, n_other, k, nnz, BM = 24, 11, 5, 93, 4
+    scale = 0.9
+    u = np.sort(rng.integers(0, num, size=nnz)).astype(np.int32)
+    v = rng.integers(0, n_other, size=nnz).astype(np.int32)
+    blk = make_blocked_layout(u, v, num, block_rows=BM, max_pad_ratio=50.0)
+    B = jnp.asarray(rng.normal(size=(n_other, k)))
+    phi = jnp.asarray(rng.normal(size=(num, k)))
+    w_raw = jnp.asarray(rng.random(nnz))
+    take, src, own = (jnp.asarray(blk[s]) for s in ("take", "src", "own"))
+    w_blk = w_raw[jnp.asarray(blk["src"])]
+
+    ref = pos_hv_blocked(phi, B, scale * w_raw, take, src, own, num, BM)
+    got = pos_hv_blocked(phi, B, None, take, src, own, num, BM,
+                         w_blk=w_blk, w_scale=scale)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    dmat = jnp.asarray(rng.normal(size=(k, k)))
+    fused = pos_hv_blocked(phi, B, None, take, src, own, num, BM,
+                           w_blk=w_blk, w_scale=scale, dense_mat=dmat)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref + phi @ dmat),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pos_hv_blocked_pallas_interpret(rng):
+    """The Mosaic hv kernel (interpret mode) matches the XLA blocked path
+    fed the same pre-gathered rows / pre-permuted weights / fused dense."""
+    from one_class_ffm_tpu.ops.sparse_ops import (
+        gather_blocked_rows,
+        make_blocked_layout,
+        pos_hv_blocked,
+        pos_hv_blocked_pallas,
+    )
+
+    num, n_other, k, nnz, BM = 24, 11, 5, 93, 4
+    scale = 0.73
+    u = np.sort(rng.integers(0, num, size=nnz)).astype(np.int32)
+    v = rng.integers(0, n_other, size=nnz).astype(np.int32)
+    blk = make_blocked_layout(u, v, num, block_rows=BM, max_pad_ratio=50.0)
+    B = jnp.asarray(rng.normal(size=(n_other, k)), jnp.float32)
+    phi = jnp.asarray(rng.normal(size=(num, k)), jnp.float32)
+    w_raw = jnp.asarray(rng.random(nnz), jnp.float32)
+    take, src, own = (jnp.asarray(blk[s]) for s in ("take", "src", "own"))
+    w_blk = w_raw[jnp.asarray(blk["src"])]
+    rows = gather_blocked_rows(B, take)
+    dmat = jnp.asarray(rng.normal(size=(k, k)), jnp.float32)
+
+    ref = pos_hv_blocked(phi, B, None, take, src, own, num, BM,
+                         rows=rows, w_blk=w_blk, w_scale=scale,
+                         dense_mat=dmat)
+    got = pos_hv_blocked_pallas(phi, rows, own, w_blk, dmat, num, BM,
+                                w_scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_blocked_layout_rejections(rng):
     from one_class_ffm_tpu.ops.sparse_ops import make_blocked_layout
 

@@ -58,6 +58,42 @@ def test_sharded_epoch_matches_single_device(rng, eight_devices, cfg):
     )
 
 
+@pytest.mark.parametrize("cfg", [dict(), dict(self_side=False)])
+def test_sharded_blocked_epoch_matches_plain(rng, eight_devices, cfg):
+    """The shard-aligned blocked path (pad_labels shard_rows= + shard_map-
+    local one-hot MXU passes) must produce the same parameters as the plain
+    single-device epoch — the whole layout + shard_map machinery is a pure
+    performance transform."""
+    S, BM = 8, 4
+    prob, params = make_problem(rng, m=19, n=13, **cfg)
+    meta_p, data_p = to_device_problem(prob, row_pad=1, multiple=S * BM)
+    plain = FFMSolver(meta_p, data_p)
+    ref = plain.epoch(
+        plain.refresh_caches({"params": oracle_params_to_jax(params)}))
+
+    mesh = make_mesh(S)
+    meta_b, data_b = to_device_problem(
+        prob, row_pad=1, multiple=S * BM, blocked_bm=BM, blocked_shards=S)
+    assert meta_b.blocked_shards == S and meta_b.blocked_bm_u == BM
+    assert meta_b.blocked_bm_v == 0  # v side stays plain under shards
+    sdata = shard_data(data_b, mesh)
+    ssolver = FFMSolver(meta_b, sdata, mesh=mesh)
+    assert ssolver.pregather_u  # mandatory for the shard-local passes
+    sstate = shard_state(
+        ssolver.refresh_caches({"params": oracle_params_to_jax(params)}),
+        mesh)
+    got = ssolver.epoch(sstate)
+    for f12, blk in ref["params"].items():
+        np.testing.assert_allclose(
+            np.asarray(got["params"][f12]["W"]), np.asarray(blk["W"]),
+            rtol=1e-6, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["params"][f12]["H"]), np.asarray(blk["H"]),
+            rtol=1e-6, atol=1e-9,
+        )
+
+
 def test_sharded_outputs_stay_distributed(rng, eight_devices):
     solver, state0, ssolver, sstate, mesh = build_sharded(rng)
     got = ssolver.epoch(sstate)
