@@ -91,6 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "the measured winners), jacobi (diagonal-"
                         "preconditioned, same stop rule), none (reference-"
                         "exact plain CG, ffm.cpp:744-813)")
+    p.add_argument("--blocked-bm", dest="blocked_bm", type=int, default=256,
+                   help="rows per block for the blocked-sorted positive "
+                        "passes (one-hot MXU matmuls / Mosaic hv kernel); "
+                        "0 = plain COO ops (default 256; auto-falls-back "
+                        "when the stream's row skew would over-pad)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() from env "
                         "(JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
@@ -132,6 +137,7 @@ def config_from_args(args) -> TrainConfig:
         distributed=args.distributed,
         eval_shard=args.eval_shard,
         cg_precond=args.cg_precond,
+        blocked_bm=args.blocked_bm,
     )
 
 

@@ -150,12 +150,14 @@ def write_dataset(
     return item_path, train_path, va_path
 
 
-def build_padded(spec: SynthSpec, dtype=np.float32, row_multiple: int = 8):
+def build_padded(spec: SynthSpec, dtype=np.float32, row_multiple: int = 8,
+                 shard_rows: int = 0):
     """Generate directly to device-ready padded arrays (no text round-trip).
 
     Returns (layout_args, u_pad, v_pad, y_pad) where layout_args =
     (Du, Dv) per-field dims actually observed.  Used by the benchmark and
-    the multichip dry-run.
+    the multichip dry-run.  ``shard_rows``: build the labels SHARD-ALIGNED
+    (pad_labels) for the shard_map blocked path.
     """
     from .dataset import PaddedFields, PaddedLabels, pad_labels, Interactions
 
@@ -207,7 +209,8 @@ def build_padded(spec: SynthSpec, dtype=np.float32, row_multiple: int = 8):
     y = Interactions(
         m=len(user_rows), n=spec.n_items, indptr=np.cumsum(indptr), col=cols
     )
-    y_pad = pad_labels(y, u_pad.m, v_pad.m, nnz_multiple=row_multiple * 8, dtype=dtype)
+    y_pad = pad_labels(y, u_pad.m, v_pad.m, nnz_multiple=row_multiple * 8,
+                       dtype=dtype, shard_rows=shard_rows)
     return (list(du), list(dv)), u_pad, v_pad, y_pad
 
 

@@ -430,7 +430,7 @@ def pos_hv(phi: Array, own_ids: Array, B: Array, other_ids: Array,
 
 def make_blocked_layout(seg_ids, take_ids, num_rows: int,
                         block_rows: int = 256, max_pad_ratio: float = 2.0,
-                        shard_rows: int = 0):
+                        shard_rows: int = 0, drop=None):
     """Host-side (numpy) block-aligned view of the COO stream, segmented by
     ``seg_ids``.  An unsorted segment side is stable-argsorted first — the
     per-call coefficient permutation this induces is a cheap (nnz,) scalar
@@ -439,6 +439,12 @@ def make_blocked_layout(seg_ids, take_ids, num_rows: int,
     Returns None when the layout does not apply: num_rows not divisible by
     block_rows, or row skew would pad the stream beyond max_pad_ratio (a
     power-user block sets MAXC for everyone).
+
+    ``drop``: boolean mask of stream entries to EXCLUDE from the layout —
+    the zero-weight pads.  They contribute exactly zero to every blocked op
+    (coefficients carry the pad mask), but occupying slots inflates MAXC:
+    in the shard-aligned layout all of a shard's pads pile into its last
+    block.  ``src`` still indexes ORIGINAL stream positions.
 
     ``shard_rows`` > 0 (requires a SHARD-ALIGNED stream, pad_labels
     shard_rows=...): emit ``src`` SHARD-LOCALLY — relative to the owning
@@ -458,22 +464,32 @@ def make_blocked_layout(seg_ids, take_ids, num_rows: int,
                        or nnz % (num_rows // shard_rows)):
         return None
     seg = np.asarray(seg_ids)
-    order = None
-    if np.any(np.diff(seg) < 0):
+    back = None  # sorted-kept position -> ORIGINAL stream position
+    if drop is not None and np.any(drop):
+        back = np.nonzero(~np.asarray(drop))[0].astype(np.int64)
+        seg = seg[back]
+    nnz_k = int(seg.shape[0])
+    if nnz_k == 0:
+        return None
+    needed_sort = bool(np.any(np.diff(seg) < 0))
+    if needed_sort:
         order = np.argsort(seg, kind="stable").astype(np.int64)
         seg = seg[order]
+        back = order if back is None else back[order]
     n_blocks = num_rows // block_rows
     starts = np.searchsorted(seg, np.arange(0, num_rows + 1, block_rows))
     counts = np.diff(starts)
     maxc = int(counts.max())
     MAXC = max(8, -(-maxc // 8) * 8)  # sublane-friendly
+    # cost guard: blocked passes stream n_blocks*MAXC slots; the plain ops
+    # they replace stream the whole padded stream (nnz, pads included)
     if n_blocks * MAXC > max_pad_ratio * nnz:
         return None
     offs = np.arange(MAXC, dtype=np.int64)[None, :]
     pos = starts[:-1, None] + offs  # (n_blocks, MAXC) positions in seg order
     valid = offs < counts[:, None]
-    pos = np.where(valid, np.minimum(pos, nnz - 1), 0)
-    src = pos if order is None else order[pos]  # positions in ORIGINAL order
+    pos = np.where(valid, np.minimum(pos, nnz_k - 1), 0)
+    src = pos if back is None else back[pos]  # positions in ORIGINAL order
     src = np.where(valid, src, 0).astype(np.int32)
     own_local = np.where(
         valid,
@@ -485,7 +501,7 @@ def make_blocked_layout(seg_ids, take_ids, num_rows: int,
     out = dict(src=src, own=own_local, take=take,
                block_rows=block_rows, maxc=MAXC)
     if shard_rows:
-        if order is not None:
+        if needed_sort:
             return None  # shard-local src needs the seg-sorted stream
         L = nnz // (num_rows // shard_rows)
         lo = (np.arange(n_blocks, dtype=np.int64)
@@ -677,14 +693,18 @@ def _hv_blk_kernel(w_scale: float, rows_ref, own_ref, w_ref, phi_ref,
     rows = rows_ref[0]                                    # (MAXC, k)
     MAXC = rows.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (BM, MAXC), 0)
-    ohm_t = (own_ref[...] == iota).astype(dt)             # (BM, MAXC)
+    # own/w arrive as (1, 1, MAXC) blocks: Mosaic requires the last two
+    # block dims to be tile-divisible OR to span the full array dims — a
+    # (1, MAXC) slice of an (n_blocks, MAXC) array is neither, so the
+    # caller reshapes to (n_blocks, 1, MAXC) and the block spans (1, MAXC).
+    ohm_t = (own_ref[0] == iota).astype(dt)               # (BM, MAXC)
     phib = phi_ref[...]                                   # (BM, k)
     # phig = ohm^T-gather of phi rows BY MATMUL (MXU): contract the BM dim
     phig = jax.lax.dot_general(
         ohm_t, phib, (((0,), (0,)), ((), ())),
         preferred_element_type=acc_t).astype(dt)          # (MAXC, k)
     pq = jnp.sum(phig * rows, axis=1, keepdims=True)      # (MAXC, 1)
-    lhs = ohm_t * (w_ref[...] * jnp.asarray(w_scale, dt))
+    lhs = ohm_t * (w_ref[0] * jnp.asarray(w_scale, dt))
     # out = (w-weighted one-hot) @ (pq * rows) : segment-sum BY MATMUL
     acc = jax.lax.dot(lhs, pq * rows, preferred_element_type=acc_t)
     acc = acc + jax.lax.dot(phib, dense_ref[...],
@@ -714,17 +734,20 @@ def pos_hv_blocked_pallas(phi: Array, rows: Array, own: Array, w_blk: Array,
     n_blocks, MAXC, k = rows.shape
     dt = rows.dtype
     kern = functools.partial(_hv_blk_kernel, w_scale)
+    # own/w as (n_blocks, 1, MAXC): blocks must span the full last-two dims
+    # (see the kernel's layout note) — the reshape only inserts an axis
     return pl.pallas_call(
         kern,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, MAXC, k), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, MAXC), lambda i: (i, 0)),
-            pl.BlockSpec((1, MAXC), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
             pl.BlockSpec((block_rows, k), lambda i: (i, 0)),
             pl.BlockSpec((k, k), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((block_rows, k), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((num_out, k), dt),
         interpret=interpret,
-    )(rows, own, w_blk, phi, dense_mat)
+    )(rows, own.reshape(n_blocks, 1, MAXC),
+      w_blk.reshape(n_blocks, 1, MAXC), phi, dense_mat)

@@ -39,6 +39,11 @@ def make_global_data(data_host: Dict[str, Any], mesh: Mesh, axis: str = "data"):
         out[key] = make_global(data_host[key], mesh, row)
     for key in ("reg_u", "reg_v"):
         out[key] = tuple(make_global(a, mesh, rep) for a in data_host[key])
+    # shard-aligned blocked layout (leading dim = blocks, nested in shards)
+    for key in ("blk_u_take", "blk_u_src", "blk_u_own", "blk_u_w",
+                "blk_v_take", "blk_v_src", "blk_v_own", "blk_v_w"):
+        if key in data_host:
+            out[key] = make_global(data_host[key], mesh, row)
     return out
 
 

@@ -147,13 +147,14 @@ def make_device_data(
     if blocked_bm:
         from ..ops.sparse_ops import make_blocked_layout
 
+        pads = np.asarray(y.w) == 0  # zero-weight entries occupy no slots
         if blocked_shards > 1:
             blk = make_blocked_layout(
                 y.u, y.v, u.m, blocked_bm,
-                shard_rows=u.m // blocked_shards)
+                shard_rows=u.m // blocked_shards, drop=pads)
         else:
-            blk = make_blocked_layout(y.u, y.v, u.m, blocked_bm)
-            blk_v = make_blocked_layout(y.v, y.u, v.m, blocked_bm)
+            blk = make_blocked_layout(y.u, y.v, u.m, blocked_bm, drop=pads)
+            blk_v = make_blocked_layout(y.v, y.u, v.m, blocked_bm, drop=pads)
 
     meta = ProblemMeta(
         layout=layout,
@@ -326,33 +327,41 @@ class FFMSolver:
             meta.blocked_bm_v, "blk_v_take", meta.m)
         # Mosaic kernel for the per-CG-iteration blocked positive pass
         # (ops.pos_hv_blocked_pallas): needs the pre-gathered stream and the
-        # pre-permuted weights, so enabling it forces pregather for that
-        # side (subject to the same footprint cap).  "auto" resolves to on
-        # for TPU backends.
+        # pre-permuted weights.  Measured (docs/PERF.md): ~neutral vs the
+        # fused XLA blocked path when both stream pre-gathered rows (+1.6%
+        # at 1M x 500k), but forcing pregather at small configs loses to
+        # gather-inside XLA (356k vs 368k at the bench headline) — so
+        # "auto" RIDES the pregather auto-decision instead of forcing it:
+        # the kernel runs exactly where the solve already streams a
+        # pre-gathered stream ("1" forces both on for A/B).
         pmode = _os.environ.get("OCFFM_PALLAS_HV", "auto").lower()
         try:
             on_tpu = jax.default_backend() not in ("cpu",)
         except Exception:
             on_tpu = False
-        pallas_want = (pmode in ("1", "on", "true")
-                       or (pmode == "auto" and on_tpu))
+        if meta.blocked_shards > 1:
+            # the shard_map-local blocked ops have no access to the (row-
+            # sharded) B table — the pre-gathered stream is mandatory
+            self.pregather_u = True
+        force = pmode in ("1", "on", "true")
+        pallas_want = force or (pmode == "auto" and on_tpu)
 
-        def pallas_ok(side_bm: int, pre: str) -> bool:
+        def pallas_ok(side_bm: int, pre: str, pregathered: bool) -> bool:
             if not pallas_want or not side_bm or pre + "w" not in data:
+                return False
+            if not force and not pregathered:
                 return False
             nb, maxc = data[pre + "take"].shape
             lanes = -(-meta.hp.k // 128) * 128
             nbytes = nb * maxc * lanes * jnp.dtype(meta.dtype).itemsize
             return nbytes <= cap
 
-        self.pallas_hv_u = pallas_ok(meta.blocked_bm_u, "blk_u_")
-        self.pallas_hv_v = pallas_ok(meta.blocked_bm_v, "blk_v_")
+        self.pallas_hv_u = pallas_ok(meta.blocked_bm_u, "blk_u_",
+                                     self.pregather_u)
+        self.pallas_hv_v = pallas_ok(meta.blocked_bm_v, "blk_v_",
+                                     self.pregather_v)
         self.pregather_u = self.pregather_u or self.pallas_hv_u
         self.pregather_v = self.pregather_v or self.pallas_hv_v
-        if meta.blocked_shards > 1:
-            # the shard_map-local blocked ops have no access to the (row-
-            # sharded) B table — the pre-gathered stream is mandatory
-            self.pregather_u = True
         # donate the carried state: P/Q/a/b/yt buffers are dead after the
         # epoch returns their successors (no-op on backends without donation)
         self._epoch = jax.jit(self._epoch_entry, donate_argnums=(0,))

@@ -40,15 +40,26 @@ SPEC = SynthSpec(n_users=64, n_items=32, avg_pos=4.0, seed=7,
 
 
 def build():
-    (du, dv), u, v, y = build_padded(SPEC, dtype=np.float64, row_multiple=4)
+    blocked = mode == "blk"
+    # blk: shard-aligned stream over the 4 global devices + blocked layout
+    # with shard-local src — the shard_map passes cross the PROCESS boundary
+    # here (2 of the 4 shards live on the other process)
+    (du, dv), u, v, y = build_padded(
+        SPEC, dtype=np.float64, row_multiple=16 if blocked else 4,
+        shard_rows=16 if blocked else 0)
     layout = BlockLayout.make(du, dv, self_side=True)
     hp = HyperParams(k=4, lam=0.05, omega=0.1)
     import jax.numpy as jnp
 
-    return make_device_data(u, v, y, layout, hp, dtype=jnp.float64)
+    return make_device_data(u, v, y, layout, hp, dtype=jnp.float64,
+                            blocked_bm=4 if blocked else 0,
+                            blocked_shards=4 if blocked else 1)
 
 
 meta, data = build()
+if mode == "blk":
+    assert meta.blocked_shards == 4 and meta.blocked_bm_u == 4, (
+        meta.blocked_shards, meta.blocked_bm_u)
 assert jax.device_count() == 4, jax.device_count()
 if mode == "tp":
     # 2x2 data x model mesh with the MODEL axis spanning the two processes:
@@ -62,12 +73,17 @@ if mode == "tp":
 else:
     mesh = make_mesh()  # 1-D data mesh over all 4 devices
 
-solver_local = FFMSolver(meta, data)
+import dataclasses  # noqa: E402
+
+# init/refresh only (no epoch): a plain-view solver avoids the mesh
+# requirement of blocked_shards metas
+meta_plain = dataclasses.replace(meta, blocked_shards=1, blocked_bm_u=0)
+solver_local = FFMSolver(meta_plain, data)
 state_host = jax.tree.map(np.asarray, solver_local.init(jax.random.key(0)))
 data_host = jax.tree.map(np.asarray, data)
 
 gdata = make_global_data(data_host, mesh)
-gsolver = FFMSolver(meta, gdata)
+gsolver = FFMSolver(meta, gdata, mesh=mesh if mode == "blk" else None)
 gstate = make_global_state(
     state_host, mesh, model_min_rows=8 if mode == "tp" else 0
 )

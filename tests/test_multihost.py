@@ -45,12 +45,14 @@ def _single_process_fingerprint() -> float:
     return fp
 
 
-@pytest.mark.parametrize("mode", ["dp", "tp"])
+@pytest.mark.parametrize("mode", ["dp", "tp", "blk"])
 def test_two_process_distributed_epoch(mode):
     """dp: rows sharded over a 1-D data mesh spanning both processes.
     tp: 2x2 data x model mesh with block tables row-sharded ACROSS the two
     processes (the web-scale layout, BASELINE.json configs[4]) — lookups
-    and updates cross the process boundary via collectives."""
+    and updates cross the process boundary via collectives.
+    blk: the shard-aligned blocked stream + shard_map-local positive passes
+    over a 4-shard data mesh spanning both processes."""
     expected = _single_process_fingerprint()
     port = _free_port()
     env = dict(os.environ)
