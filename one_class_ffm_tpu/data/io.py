@@ -124,18 +124,95 @@ def _load_native():
     return _NATIVE
 
 
+_CACHE_VERSION = 1
+_CACHE_KEYS = ("x_indptr", "x_fid", "x_idx", "x_val", "y_indptr", "y_idx")
+
+
+def _cache_path(path: str) -> str:
+    return path + ".ocffm.npz"
+
+
+def _cache_fresh(cpath: str, path: str, has_label: bool,
+                 ds: Optional[Sequence[int]]):
+    """Load the binary cache if it matches the source file + parse params."""
+    if not os.path.exists(cpath):
+        return None
+    try:
+        st = os.stat(path)
+        z = np.load(cpath, allow_pickle=False)
+        meta = z["meta"]
+        if (int(meta[0]) != _CACHE_VERSION
+                or int(meta[1]) != st.st_mtime_ns
+                or int(meta[2]) != st.st_size
+                or int(meta[3]) != int(has_label)):
+            return None
+        want_ds = np.asarray([] if ds is None else list(ds), dtype=np.int64)
+        if not np.array_equal(z["ds"], want_ds):
+            return None
+        return tuple(z[k] for k in _CACHE_KEYS) + (
+            int(meta[4]), int(meta[5]))
+    except Exception:
+        return None
+
+
+def _cache_write(cpath: str, path: str, has_label: bool,
+                 ds: Optional[Sequence[int]], out) -> None:
+    """Atomic best-effort cache write (tmp + rename; failures are silent —
+    read-only dataset directories just skip caching)."""
+    try:
+        st = os.stat(path)
+        meta = np.asarray(
+            [_CACHE_VERSION, st.st_mtime_ns, st.st_size, int(has_label),
+             out[6], out[7]], dtype=np.int64)
+        ds_arr = np.asarray([] if ds is None else list(ds), dtype=np.int64)
+        tmp = cpath + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, meta=meta, ds=ds_arr,
+                     **dict(zip(_CACHE_KEYS, out[:6])))
+        os.replace(tmp, cpath)
+    except Exception:
+        pass
+
+
 def read_text_file(
     path: str,
     has_label: bool,
     ds: Optional[Sequence[int]] = None,
     force_python: bool = False,
+    cache: Optional[bool] = None,
 ):
-    """Parse a data file, preferring the native C++ parser when available."""
+    """Parse a data file, preferring the native C++ parser when available.
+
+    Binary dataset cache (``<path>.ocffm.npz``): the parsed CSR arrays are
+    saved next to the source after the first parse and binary-loaded on
+    repeat runs — sweeps re-read the same train/item files for every grid
+    point, and at web scale even the ~40x native parse is minutes of wasted
+    work per run.  Keyed on source mtime+size and the parse params, written
+    atomically, best-effort (read-only dirs just skip it).  Default from
+    ``OCFFM_DATA_CACHE`` (on); ``force_python`` bypasses the cache so the
+    parser-equivalence tests compare real parsers."""
+    use_cache = cache
+    if use_cache is None:
+        use_cache = os.environ.get(
+            "OCFFM_DATA_CACHE", "1").lower() not in ("0", "off", "false")
+    if force_python:
+        use_cache = False
+    cpath = _cache_path(path)
+    if use_cache:
+        hit = _cache_fresh(cpath, path, has_label, ds)
+        if hit is not None:
+            return hit
     if not force_python:
         native = _load_native()
         if native:
             try:
-                return native.parse_text_native(path, has_label, ds)
+                out = native.parse_text_native(path, has_label, ds)
+                if use_cache:
+                    _cache_write(cpath, path, has_label, ds, out)
+                return out
             except Exception:
                 pass
-    return parse_text_python(path, has_label, ds)
+    out = parse_text_python(path, has_label, ds)
+    if use_cache:
+        _cache_write(cpath, path, has_label, ds, out)
+    return out

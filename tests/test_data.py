@@ -1,5 +1,7 @@
 """Data layer tests: parser, field split, transY, padding."""
 
+import os
+
 import numpy as np
 
 from one_class_ffm_tpu.data import (
@@ -121,6 +123,41 @@ def test_pad_labels(tmp_path):
     np.testing.assert_array_equal(pl.count_u[:3], [2, 1, 1])
     np.testing.assert_array_equal(pl.count_v, [2, 1, 1])
     assert (pl.u[4:] == 3).all() and (pl.v[4:] == 3).all()
+
+
+def test_binary_dataset_cache(tmp_path):
+    """The binary cache returns the identical parse, is actually USED on a
+    repeat read (same mtime+size, different bytes -> old parse comes back),
+    and invalidates on content change or ds mismatch."""
+    from one_class_ffm_tpu.data.io import read_text_file
+
+    p = tmp_path / "tr.ffm"
+    p.write_text("0,2 0:0:1 1:3:2\n1 0:1:1\n2 1:2:0.5\n")
+    path = str(p)
+    first = read_text_file(path, has_label=True, cache=True)
+    assert (tmp_path / "tr.ffm.ocffm.npz").exists()
+    again = read_text_file(path, has_label=True, cache=True)
+    for a, b in zip(first, again):
+        np.testing.assert_array_equal(a, b)
+
+    # same size + mtime, different bytes: the cache must win (keyed on
+    # mtime+size, not content) — proves the second read came from the cache
+    st = p.stat()
+    p.write_text("1,2 0:0:9 1:3:9\n0 0:1:9\n0 1:2:9.9\n"[: st.st_size])
+    os.utime(path, ns=(st.st_mtime_ns, st.st_mtime_ns))
+    cached = read_text_file(path, has_label=True, cache=True)
+    np.testing.assert_array_equal(cached[3], first[3])  # old x_val
+
+    # content + mtime change invalidates
+    p.write_text("1 0:0:7\n2 0:1:7\n3 1:2:7\n")
+    fresh = read_text_file(path, has_label=True, cache=True)
+    assert float(fresh[3][0]) == 7.0
+
+    # ds filter participates in the key
+    with_ds = read_text_file(path, has_label=True, ds=[1, 0], cache=True)
+    assert with_ds[1].size < fresh[1].size
+    no_ds = read_text_file(path, has_label=True, cache=True)
+    np.testing.assert_array_equal(no_ds[3], fresh[3])
 
 
 def test_pad_labels_shard_aligned():

@@ -237,6 +237,36 @@ def test_trainer_mesh_matches_single_device(dataset, tmp_path):
                                    rtol=1e-9, atol=1e-11)
 
 
+def test_trainer_sharded_blocked_active(dataset, tmp_path):
+    """The shard-aligned blocked path (pad_labels shard_rows + shard_map
+    passes) is reachable through the PRODUCT surface — a Trainer on the
+    8-device mesh actually activates it (asserted, not assumed) and its
+    metrics/parameters match the single-device blocked run."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    kw = dict(nr_pass=4, eval_every=4, blocked_bm=8)
+    tr1 = Trainer(make_cfg(dataset, tmp_path, **kw))
+    assert tr1.meta.blocked_bm_u == 8 and tr1.meta.blocked_shards == 1
+    tr1.run(log=lambda *_: None)
+    m1 = tr1.validate()
+
+    tr8 = Trainer(make_cfg(dataset, tmp_path, mesh_shape="8", **kw))
+    assert tr8.meta.blocked_shards == 8, "sharded blocked layout rejected"
+    assert tr8.meta.blocked_bm_u == 8 and tr8.meta.blocked_bm_v == 0
+    assert tr8.solver.pregather_u
+    tr8.run(log=lambda *_: None)
+    assert not tr8.state["a"].sharding.is_fully_replicated
+    m8 = tr8.validate()
+    for key, val in m1.items():
+        np.testing.assert_allclose(m8[key], val, rtol=1e-6, err_msg=key)
+    p1, p8 = tr1.params_numpy(), tr8.params_numpy()
+    for f12 in p1:
+        np.testing.assert_allclose(p8[f12]["W"], p1[f12]["W"],
+                                   rtol=1e-6, atol=1e-9)
+
+
 def test_trainer_2d_mesh_model_sharding(dataset, tmp_path):
     """NxM mesh through the Trainer: tables above model_min_rows row-shard on
     the model axis (d_multiple padding makes any dim divisible), and results
