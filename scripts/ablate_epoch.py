@@ -32,7 +32,7 @@ def main() -> int:
     variants = os.environ.get(
         "ABL_VARIANTS",
         "baseline,no_pos_dot,no_pos_scatter,no_pos_both,no_tbl_scatter,"
-        "no_project,no_hv_blocked,no_scatter_blocked,no_pair",
+        "no_project,no_hv_blocked,no_scatter_blocked,no_pair,no_rows_pre",
     ).split(",")
 
     import jax
@@ -60,23 +60,30 @@ def main() -> int:
     orig = dict(pos_dot=JS.pos_dot, pos_scatter=JS.pos_scatter,
                 scatter=JS.scatter, project=JS.project,
                 pos_hv_blocked=JS.pos_hv_blocked,
+                pos_hv_blocked_pallas=JS.pos_hv_blocked_pallas,
+                gather_blocked_rows=JS.gather_blocked_rows,
                 pos_scatter_blocked=JS.pos_scatter_blocked,
                 pos_scatter_pair=JS.pos_scatter_pair)
 
     def patch(variant):
-        JS.pos_dot = orig["pos_dot"]
-        JS.pos_scatter = orig["pos_scatter"]
-        JS.scatter = orig["scatter"]
-        JS.project = orig["project"]
-        JS.pos_hv_blocked = orig["pos_hv_blocked"]
-        JS.pos_scatter_blocked = orig["pos_scatter_blocked"]
-        JS.pos_scatter_pair = orig["pos_scatter_pair"]
+        for name, fn in orig.items():
+            setattr(JS, name, fn)
         if variant == "no_hv_blocked":
-            JS.pos_hv_blocked = lambda phi, B, w, t, s_, o, num, bm: (
-                jnp.zeros((num, B.shape[1]), B.dtype))
+            JS.pos_hv_blocked = (
+                lambda phi, B, w, t, s_, o, num, bm, **kw:
+                jnp.zeros((num, phi.shape[1]), phi.dtype))
+            JS.pos_hv_blocked_pallas = (
+                lambda phi, rows, o, w_blk, dm, num, bm, **kw:
+                jnp.zeros((num, phi.shape[1]), phi.dtype))
+        if variant == "no_rows_pre":
+            # removes only the per-solve random row gather (the pregather);
+            # the blocked passes still stream a (zeros) array of that shape
+            JS.gather_blocked_rows = (
+                lambda B, take: jnp.zeros(
+                    (take.shape[0], take.shape[1], B.shape[1]), B.dtype))
         if variant == "no_scatter_blocked":
             JS.pos_scatter_blocked = (
-                lambda c, B, t, s_, o, num, bm, diag_w=None:
+                lambda c, B, t, s_, o, num, bm, diag_w=None, **kw:
                 jnp.zeros((num, B.shape[1]), B.dtype) if diag_w is None
                 else (jnp.zeros((num, B.shape[1]), B.dtype),
                       jnp.zeros((num, B.shape[1]), B.dtype)))
