@@ -498,7 +498,16 @@ def make_blocked_layout(seg_ids, take_ids, num_rows: int,
         block_rows,  # pad marker: one-hot row of all zeros
     ).astype(np.int32)
     take = np.where(valid, np.asarray(take_ids)[src], 0).astype(np.int32)
-    out = dict(src=src, own=own_local, take=take,
+    # inverse map: ORIGINAL stream position -> flat slot index (kept entries
+    # only; dropped entries point at slot 0 — their consumers multiply by the
+    # zero pad weight, so the value never matters).  Lets per-entry results
+    # computed in slot order (e.g. the residual gap) permute back to stream
+    # order with one (nnz,) scalar gather.
+    flat = (np.arange(n_blocks, dtype=np.int64)[:, None] * MAXC
+            + offs).astype(np.int32)
+    inv = np.zeros(nnz, np.int32)
+    inv[src[valid]] = flat[valid]
+    out = dict(src=src, own=own_local, take=take, inv=inv,
                block_rows=block_rows, maxc=MAXC)
     if shard_rows:
         if needed_sort:
@@ -554,13 +563,19 @@ def _blk_group(n_blocks: int, maxc: int, k: int, itemsize: int) -> int:
 def pos_scatter_blocked(coeff: Array, B: Array, take: Array, src: Array,
                         own: Array, num_out: int, block_rows: int,
                         diag_w: Array | None = None,
-                        rows: Array | None = None):
+                        rows: Array | None = None,
+                        diag_w_blk: Array | None = None):
     """Blocked-sorted pos_scatter: out[s] += coeff[t] * B[take[t]].
 
     ``coeff`` is in ORIGINAL stream order (gathered per block via ``src``).
     With ``diag_w``: also return the Jacobi diag positive term
     sum diag_w[t] * B[take[t]]^2 from the same B gather (the fused
     grad+diag pair, cf. pos_scatter_pair).
+    ``diag_w_blk``: the diag weights in PRE-PERMUTED (n_blocks, MAXC) form —
+    they are STATIC ((1-w) * the pad mask), so the per-solve random scalar
+    gather diag_w[src] can be paid once at data-assembly time (the w_blk
+    trick; bit-equal since the same float pairs multiply).  Overrides
+    ``diag_w``.
     With ``rows`` (gather_blocked_rows output): skip the random gather and
     stream the pre-gathered (n_blocks, MAXC, k) array sequentially (``B``
     and ``take`` may then be None — e.g. under shard_map where only the
@@ -568,6 +583,7 @@ def pos_scatter_blocked(coeff: Array, B: Array, take: Array, src: Array,
     n_blocks, MAXC = own.shape
     k = rows.shape[2] if rows is not None else B.shape[1]
     dt = rows.dtype if rows is not None else B.dtype
+    with_diag = diag_w is not None or diag_w_blk is not None
     G = _blk_group(n_blocks, MAXC, k, jnp.dtype(dt).itemsize)
     n_groups = -(-n_blocks // G)
     iota = jax.lax.broadcasted_iota(jnp.int32, (MAXC, block_rows), 1)
@@ -584,7 +600,12 @@ def pos_scatter_blocked(coeff: Array, B: Array, take: Array, src: Array,
             take_g = jax.lax.dynamic_slice(take, (base, 0), (G, MAXC))
             rows_g = B[take_g.reshape(-1)].reshape(G, MAXC, k)
         cb_g = coeff[src_g]
-        wq_g = diag_w[src_g] if diag_w is not None else None
+        if diag_w_blk is not None:
+            wq_g = jax.lax.dynamic_slice(diag_w_blk, (base, 0), (G, MAXC))
+        elif diag_w is not None:
+            wq_g = diag_w[src_g]
+        else:
+            wq_g = None
 
         def inner(j, carry):
             out, outq = carry
@@ -593,7 +614,7 @@ def pos_scatter_blocked(coeff: Array, B: Array, take: Array, src: Array,
             blockv = _blocked_dot(ohm.T, cb_g[j][:, None] * rows, dt)
             row0 = (base + j) * block_rows
             out = jax.lax.dynamic_update_slice(out, blockv, (row0, 0))
-            if diag_w is not None:
+            if with_diag:
                 bq = _blocked_dot(
                     ohm.T, wq_g[j][:, None] * rows * rows, dt)
                 outq = jax.lax.dynamic_update_slice(outq, bq, (row0, 0))
@@ -602,12 +623,59 @@ def pos_scatter_blocked(coeff: Array, B: Array, take: Array, src: Array,
         return jax.lax.fori_loop(0, G, inner, carry)
 
     init = (jnp.zeros((num_out, k), dt),
-            jnp.zeros((num_out, k), dt) if diag_w is not None
+            jnp.zeros((num_out, k), dt) if with_diag
             else jnp.zeros((), dt))
     out, outq = jax.lax.fori_loop(0, n_groups, outer, init)
-    if diag_w is not None:
+    if with_diag:
         return out, outq
     return out
+
+
+def pos_gap_blocked(dT: Array, rows: Array, own: Array, inv: Array,
+                    block_rows: int) -> Array:
+    """Blocked-sorted residual gap: gap[t] = <dT[own_t], B[take_t]> for every
+    ORIGINAL stream entry (the update_side/update_cross "gaps" pass, ref
+    ffm.cpp:405-465).
+
+    The plain pos_dot form pays two random row gathers over the whole
+    positive stream — dT by the (sorted) own side and B by the other side —
+    once per table solve.  With the solve's pre-gathered stream available
+    (``rows`` = gather_blocked_rows output: B is unchanged by the step being
+    applied, W/H and the own-side cache are what moved), both gathers
+    disappear: the own side becomes the one-hot MXU gather-by-matmul and the
+    B side streams sequentially.  Only an (nnz,) SCALAR gather (``inv``, the
+    layout's static original->slot map) permutes the result back to stream
+    order; entries outside the layout land on slot 0 and are killed by the
+    caller's pad-weight multiply.  Pad slots have an all-zero one-hot row, so
+    their gap is exactly 0."""
+    n_blocks, MAXC = own.shape
+    k = rows.shape[2]
+    dt = rows.dtype
+    G = _blk_group(n_blocks, MAXC, k, jnp.dtype(dt).itemsize)
+    n_groups = -(-n_blocks // G)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (MAXC, block_rows), 1)
+
+    def outer(g, flat):
+        # overlapping last group recomputes a few blocks — idempotent (each
+        # flat slot is rewritten with the same value)
+        base = jnp.minimum(g * G, n_blocks - G)
+        own_g = jax.lax.dynamic_slice(own, (base, 0), (G, MAXC))
+        rows_g = jax.lax.dynamic_slice(rows, (base, 0, 0), (G, MAXC, k))
+
+        def inner(j, flat):
+            ohm = (own_g[j][:, None] == iota).astype(dt)  # (MAXC, BM)
+            row0 = (base + j) * block_rows
+            dTb = jax.lax.dynamic_slice(dT, (row0, 0), (block_rows, k))
+            phig = _blocked_dot(ohm, dTb, dt)             # (MAXC, k)
+            gap = jnp.sum(phig * rows_g[j], axis=1)       # (MAXC,)
+            return jax.lax.dynamic_update_slice(
+                flat, gap, ((base + j) * MAXC,))
+
+        return jax.lax.fori_loop(0, G, inner, flat)
+
+    flat = jax.lax.fori_loop(0, n_groups, outer,
+                             jnp.zeros(n_blocks * MAXC, dt))
+    return flat[inv]
 
 
 def pos_hv_blocked(phi: Array, B: Array, w: Array, take: Array, src: Array,

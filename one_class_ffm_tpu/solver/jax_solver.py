@@ -209,11 +209,13 @@ def make_device_data(
         # (src_abs: the shard-local layout's src is slice-relative)
         data["blk_u_w"] = jnp.asarray(
             y.w[blk.get("src_abs", blk["src"])], dtype)
+        data["blk_u_inv"] = jnp.asarray(blk["inv"])
     if blk_v is not None:
         data["blk_v_take"] = jnp.asarray(blk_v["take"])
         data["blk_v_src"] = jnp.asarray(blk_v["src"])
         data["blk_v_own"] = jnp.asarray(blk_v["own"])
         data["blk_v_w"] = jnp.asarray(y.w[blk_v["src"]], dtype)
+        data["blk_v_inv"] = jnp.asarray(blk_v["inv"])
     return meta, data
 
 
@@ -231,6 +233,7 @@ def make_device_data(
 from ..ops.sparse_ops import (  # noqa: E402
     gather_blocked_rows,
     pos_dot,
+    pos_gap_blocked,
     pos_hv,
     pos_hv_blocked,
     pos_hv_blocked_pallas,
@@ -362,6 +365,16 @@ class FFMSolver:
                                      self.pregather_v)
         self.pregather_u = self.pregather_u or self.pallas_hv_u
         self.pregather_v = self.pregather_v or self.pallas_hv_v
+        # Blocked residual gap (ops.pos_gap_blocked): with the solve's
+        # pre-gathered stream in hand, the update pass's two per-stream
+        # random row gathers (the plain pos_dot "gaps" form) collapse to
+        # sequential streaming + one-hot MXU matmuls + an (nnz,) scalar
+        # permute.  Rides the pregather decision; the shard-aligned mesh
+        # path keeps plain pos_dot (its rows_pre/flat-gap arrays are
+        # block-sharded and the inv permute would cross shards).
+        gmode = _os.environ.get("OCFFM_BLK_GAP", "auto").lower()
+        gap_want = gmode not in ("0", "off", "false")
+        self.blk_gap = gap_want and meta.blocked_shards == 1
         # donate the carried state: P/Q/a/b/yt buffers are dead after the
         # epoch returns their successors (no-op on backends without donation)
         self._epoch = jax.jit(self._epoch_entry, donate_argnums=(0,))
@@ -568,25 +581,28 @@ class FFMSolver:
         ax = self.data_axis
         return P(ax), P(ax, None), P(ax, None, None), P()
 
-    def _scatter_blocked_sharded(self, c, rows_pre, wq=None):
-        """pos_scatter_blocked under shard_map (u side, gradient pass)."""
+    def _scatter_blocked_sharded(self, c, rows_pre, wq_blk=None):
+        """pos_scatter_blocked under shard_map (u side, gradient pass).
+
+        ``wq_blk``: pre-permuted (n_blocks, MAXC) diag weights (static — the
+        w_blk trick), so the local pass does no scalar gather for them."""
         meta, d = self.meta, self.data
         vec, blk2, blk3, rep = self._shard_specs()
         m_l = meta.m // meta.blocked_shards
         BM = meta.blocked_bm_u
-        with_diag = wq is not None
+        with_diag = wq_blk is not None
 
         def local(c_l, src_l, own_l, rows_l, wq_l):
             return pos_scatter_blocked(
                 c_l, None, None, src_l, own_l, m_l, BM,
-                diag_w=wq_l if with_diag else None, rows=rows_l)
+                diag_w_blk=wq_l if with_diag else None, rows=rows_l)
 
         out_specs = (blk2, blk2) if with_diag else blk2
         fn = jax.shard_map(local, mesh=self.mesh,
-                           in_specs=(vec, blk2, blk2, blk3, vec),
+                           in_specs=(vec, blk2, blk2, blk3, blk2),
                            out_specs=out_specs, check_vma=False)
         return fn(c, d["blk_u_src"], d["blk_u_own"], rows_pre,
-                  wq if with_diag else c)
+                  wq_blk if with_diag else d["blk_u_w"])
 
     def _hv_blocked_sharded(self, phi, rows_pre, dmat, w_scale):
         """pos_hv_blocked / the Mosaic kernel under shard_map (u side, one
@@ -648,14 +664,18 @@ class FFMSolver:
                 # the blocked double-payload form measured slower there);
                 # with rows_pre the stream is read sequentially, so the
                 # blocked double payload wins at every dtype.
+                # the diag weights are STATIC ((1-w) * pad mask): use the
+                # pre-permuted blk_w instead of a per-solve wq[src] gather
+                wq_blk = ((1.0 - hp.omega) * d["blk_u_w"]
+                          if with_diag_pos else None)
                 if meta.blocked_shards > 1:
                     res = self._scatter_blocked_sharded(
-                        c, rows_pre, wq=wq if with_diag_pos else None)
+                        c, rows_pre, wq_blk=wq_blk)
                 else:
                     res = pos_scatter_blocked(
                         c, Q1, d["blk_u_take"], d["blk_u_src"],
                         d["blk_u_own"], meta.m, meta.blocked_bm_u,
-                        diag_w=wq if with_diag_pos else None, rows=rows_pre)
+                        diag_w_blk=wq_blk, rows=rows_pre)
                 zpos, posq = res if with_diag_pos else (res, None)
             elif with_diag_pos:
                 zpos, posq = pos_scatter_pair(
@@ -679,7 +699,8 @@ class FFMSolver:
                 res = pos_scatter_blocked(
                     c, P1, d["blk_v_take"], d["blk_v_src"], d["blk_v_own"],
                     meta.n, meta.blocked_bm_v,
-                    diag_w=wq if with_diag_pos else None, rows=rows_pre)
+                    diag_w_blk=((1.0 - hp.omega) * d["blk_v_w"]
+                                if with_diag_pos else None), rows=rows_pre)
                 zpos, posq = res if with_diag_pos else (res, None)
             elif with_diag_pos:
                 zpos, posq = pos_scatter_pair(
@@ -892,9 +913,15 @@ class FFMSolver:
 
     # -- block updates (incremental cache refresh) ----------------------------
 
-    def _apply_step(self, state, b: BlockInfo, first: bool, S: Array):
+    def _apply_step(self, state, b: BlockInfo, first: bool, S: Array,
+                    rows_pre=None):
         """Apply the Newton step and refresh P/Q, a/b, yt functionally
-        (update_side ffm.cpp:405-437, update_cross ffm.cpp:439-465)."""
+        (update_side ffm.cpp:405-437, update_cross ffm.cpp:439-465).
+
+        ``rows_pre``: the solve's pre-gathered B-row stream
+        (gather_blocked_rows).  B (= the OTHER side's cache) is untouched by
+        this step — only the own-side table/cache move — so the gap pass can
+        reuse it and run fully blocked (ops.pos_gap_blocked)."""
         d = self.data
         f12 = b.f12
         key = "W" if first else "H"
@@ -922,9 +949,16 @@ class FFMSolver:
             state["b"] = state["b"] + db
             state["yt"] = state["yt"] + db[d["pos_v"]]
         else:
-            own_ids = d["pos_u"] if first else d["pos_v"]
-            oth_ids = d["pos_v"] if first else d["pos_u"]
-            gap = pos_dot(dP, own_ids, other, oth_ids)
+            if rows_pre is not None and self.blk_gap:
+                pre = "blk_u_" if first else "blk_v_"
+                bm = (self.meta.blocked_bm_u if first
+                      else self.meta.blocked_bm_v)
+                gap = pos_gap_blocked(dP, rows_pre, d[pre + "own"],
+                                      d[pre + "inv"], bm)
+            else:
+                own_ids = d["pos_u"] if first else d["pos_v"]
+                oth_ids = d["pos_v"] if first else d["pos_u"]
+                gap = pos_dot(dP, own_ids, other, oth_ids)
             state["yt"] = state["yt"] + gap * d["pos_w"]
         return state
 
@@ -964,10 +998,11 @@ class FFMSolver:
                 G = self._grad_cross(state, b, first, rows_pre=rows_pre)
             hv = self._hv_cross(state, b, first, rows_pre=rows_pre)
         else:
+            rows_pre = None
             G = self._grad_self(state, b, first, sa, sb)
             hv = self._hv_self(state, b, first)
         S, it = self._cg(hv, G, self._diag_H(state, b, first, posq))
-        return self._apply_step(state, b, first, S), it
+        return self._apply_step(state, b, first, S, rows_pre=rows_pre), it
 
     # -- epoch ----------------------------------------------------------------
 

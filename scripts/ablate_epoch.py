@@ -63,7 +63,8 @@ def main() -> int:
                 pos_hv_blocked_pallas=JS.pos_hv_blocked_pallas,
                 gather_blocked_rows=JS.gather_blocked_rows,
                 pos_scatter_blocked=JS.pos_scatter_blocked,
-                pos_scatter_pair=JS.pos_scatter_pair)
+                pos_scatter_pair=JS.pos_scatter_pair,
+                pos_gap_blocked=JS.pos_gap_blocked)
 
     def patch(variant):
         for name, fn in orig.items():
@@ -82,11 +83,19 @@ def main() -> int:
                 lambda B, take: jnp.zeros(
                     (take.shape[0], take.shape[1], B.shape[1]), B.dtype))
         if variant == "no_scatter_blocked":
-            JS.pos_scatter_blocked = (
-                lambda c, B, t, s_, o, num, bm, diag_w=None, **kw:
-                jnp.zeros((num, B.shape[1]), B.dtype) if diag_w is None
-                else (jnp.zeros((num, B.shape[1]), B.dtype),
-                      jnp.zeros((num, B.shape[1]), B.dtype)))
+            def _zero_scatter(c, B, t, s_, o, num, bm, diag_w=None,
+                              rows=None, diag_w_blk=None, **kw):
+                k = rows.shape[2] if rows is not None else B.shape[1]
+                dt = rows.dtype if rows is not None else B.dtype
+                z = jnp.zeros((num, k), dt)
+                if diag_w is None and diag_w_blk is None:
+                    return z
+                return z, z
+            JS.pos_scatter_blocked = _zero_scatter
+        if variant == "no_gap":
+            JS.pos_gap_blocked = (
+                lambda dT, rows, own, inv, bm, **kw:
+                jnp.zeros(inv.shape[0], rows.dtype))
         if variant == "no_pair":
             JS.pos_scatter_pair = lambda a, b, B, t, s_, num, **kw: (
                 jnp.zeros((num, B.shape[1]), B.dtype),

@@ -347,20 +347,25 @@ def test_full_epoch_matches_oracle_pallas_hv(rng, monkeypatch):
         )
 
 
-@pytest.mark.parametrize("pregather", [False, True])
+@pytest.mark.parametrize("pregather", [False, True, "pre_nogap"])
 @pytest.mark.parametrize("cfg", [dict(), dict(self_side=False),
                                  dict(cg_precond="none")])
 def test_full_epoch_matches_oracle_blocked_u(rng, cfg, pregather,
                                              monkeypatch):
     """Epochs with the u-side blocked-sorted positive ops (one-hot MXU
     block matmuls) must still match the fp64 oracle at 1e-6 — with and
-    without the per-solve row pre-gather (gather_blocked_rows)."""
-    monkeypatch.setenv("OCFFM_BLK_PREGATHER", "1" if pregather else "0")
+    without the per-solve row pre-gather (gather_blocked_rows), and with
+    the blocked residual gap (pos_gap_blocked, which rides the pre-gather)
+    both on and off."""
+    monkeypatch.setenv("OCFFM_BLK_PREGATHER", "0" if not pregather else "1")
+    if pregather == "pre_nogap":
+        monkeypatch.setenv("OCFFM_BLK_GAP", "0")
     prob, params = make_problem(rng, **cfg)
     meta, data = to_device_problem(prob, row_pad=3, blocked_bm=4)
     assert meta.blocked_bm_u == 4, "blocked layout should have applied"
     solver = FFMSolver(meta, data)
-    assert solver.pregather_u == pregather
+    assert solver.pregather_u == bool(pregather)
+    assert solver.blk_gap == (pregather != "pre_nogap")
     state = solver.refresh_caches({"params": oracle_params_to_jax(params)})
     with jax.disable_jit():
         for _ in range(2):

@@ -385,3 +385,62 @@ def test_blocked_mixed_dispatch_under_skew(rng):
         np.testing.assert_allclose(
             np.asarray(st_b["params"][f12]["W"]),
             np.asarray(st_p["params"][f12]["W"]), rtol=1e-9, atol=1e-11)
+
+
+def test_pos_gap_blocked_matches_pos_dot(rng):
+    """The blocked residual gap (one-hot MXU gather + sequential stream +
+    static inverse permute) equals the plain pos_dot "gaps" form on every
+    kept entry, on both segment sides (sorted u, argsorted v), with dropped
+    zero-weight pads excluded (their slots return arbitrary values that the
+    caller's pad-weight multiply kills)."""
+    from one_class_ffm_tpu.ops.sparse_ops import (
+        gather_blocked_rows,
+        make_blocked_layout,
+        pos_dot,
+        pos_gap_blocked,
+    )
+
+    m, n, k, nnz, BM = 24, 16, 5, 93, 4
+    u = np.sort(rng.integers(0, m, size=nnz)).astype(np.int32)
+    v = rng.integers(0, n, size=nnz).astype(np.int32)
+    w = (rng.random(nnz) > 0.2).astype(np.float64)  # some dropped pads
+    dP = jnp.asarray(rng.normal(size=(m, k)))
+    B = jnp.asarray(rng.normal(size=(n, k)))
+
+    for seg, take, num, dT, Bt in ((u, v, m, dP, B), (v, u, n, B, dP)):
+        blk = make_blocked_layout(seg, take, num, block_rows=BM,
+                                  max_pad_ratio=50.0, drop=(w == 0))
+        assert blk is not None
+        rows = gather_blocked_rows(Bt, jnp.asarray(blk["take"]))
+        got = pos_gap_blocked(dT, rows, jnp.asarray(blk["own"]),
+                              jnp.asarray(blk["inv"]), BM)
+        ref = pos_dot(dT, jnp.asarray(seg), Bt, jnp.asarray(take))
+        np.testing.assert_allclose(np.asarray(got) * w, np.asarray(ref) * w,
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_blocked_scatter_diag_w_blk_bit_equal(rng):
+    """diag_w_blk (pre-permuted static diag weights) is bit-equal to the
+    diag_w[src] gather form — same float pairs multiply."""
+    from one_class_ffm_tpu.ops.sparse_ops import (
+        make_blocked_layout,
+        pos_scatter_blocked,
+    )
+
+    num, n_other, k, nnz, BM = 24, 11, 5, 93, 4
+    u = np.sort(rng.integers(0, num, size=nnz)).astype(np.int32)
+    v = rng.integers(0, n_other, size=nnz).astype(np.int32)
+    blk = make_blocked_layout(u, v, num, block_rows=BM, max_pad_ratio=50.0)
+    B = jnp.asarray(rng.normal(size=(n_other, k)))
+    coeff = jnp.asarray(rng.random(nnz))
+    wq = jnp.asarray(rng.random(nnz))
+    take = jnp.asarray(blk["take"])
+    src = jnp.asarray(blk["src"])
+    own = jnp.asarray(blk["own"])
+
+    ref, refq = pos_scatter_blocked(coeff, B, take, src, own, num, BM,
+                                    diag_w=wq)
+    got, gotq = pos_scatter_blocked(coeff, B, take, src, own, num, BM,
+                                    diag_w_blk=wq[src])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(gotq), np.asarray(refq))
