@@ -99,7 +99,7 @@ def main() -> int:
             for f12, blk in params0.items()
         }})
         st = solver.epoch(st)  # epoch 1 (untimed, matches the warmup above)
-        float(st["yt"][0])
+        float(st[solver.yt_key].reshape(-1)[0])
         t0 = time.perf_counter()
         for _ in range(epochs):
             st = solver.epoch(st)
@@ -107,7 +107,7 @@ def main() -> int:
         # paranoid sync: a host-side scalar fetch cannot return before the
         # device work is done (block_until_ready alone proved unreliable
         # through this sandbox's dispatch relay)
-        float(st["yt"][0])
+        float(st[solver.yt_key].reshape(-1)[0])
         seg_times.append(time.perf_counter() - t0)
         state = st
     dt = min(seg_times)
@@ -118,7 +118,7 @@ def main() -> int:
     # because this sandbox pays minutes per XLA compile over the tunnel)
     w_now = np.asarray(state["params"][f12_0]["W"])
     assert np.all(np.isfinite(w_now)) and not np.allclose(w_now, w_init)
-    assert np.all(np.isfinite(np.asarray(state["yt"])))
+    assert np.all(np.isfinite(np.asarray(state[solver.yt_key])))
 
     eps = n_users * epochs / dt
 

@@ -564,10 +564,14 @@ def pos_scatter_blocked(coeff: Array, B: Array, take: Array, src: Array,
                         own: Array, num_out: int, block_rows: int,
                         diag_w: Array | None = None,
                         rows: Array | None = None,
-                        diag_w_blk: Array | None = None):
+                        diag_w_blk: Array | None = None,
+                        coeff_blk: Array | None = None):
     """Blocked-sorted pos_scatter: out[s] += coeff[t] * B[take[t]].
 
     ``coeff`` is in ORIGINAL stream order (gathered per block via ``src``).
+    ``coeff_blk``: the coefficients already in (n_blocks, MAXC) slot order
+    (the solver's slot-order residual mode) — read by dynamic_slice, no
+    scalar gather at all.  Overrides ``coeff``/``src`` (both may be None).
     With ``diag_w``: also return the Jacobi diag positive term
     sum diag_w[t] * B[take[t]]^2 from the same B gather (the fused
     grad+diag pair, cf. pos_scatter_pair).
@@ -592,14 +596,18 @@ def pos_scatter_blocked(coeff: Array, B: Array, take: Array, src: Array,
         # overlapping last group recomputes a few blocks — idempotent
         # (each block's output rows depend only on its own entries)
         base = jnp.minimum(g * G, n_blocks - G)
-        src_g = jax.lax.dynamic_slice(src, (base, 0), (G, MAXC))
+        src_g = None if src is None else jax.lax.dynamic_slice(
+            src, (base, 0), (G, MAXC))
         own_g = jax.lax.dynamic_slice(own, (base, 0), (G, MAXC))
         if rows is not None:
             rows_g = jax.lax.dynamic_slice(rows, (base, 0, 0), (G, MAXC, k))
         else:
             take_g = jax.lax.dynamic_slice(take, (base, 0), (G, MAXC))
             rows_g = B[take_g.reshape(-1)].reshape(G, MAXC, k)
-        cb_g = coeff[src_g]
+        if coeff_blk is not None:
+            cb_g = jax.lax.dynamic_slice(coeff_blk, (base, 0), (G, MAXC))
+        else:
+            cb_g = coeff[src_g]
         if diag_w_blk is not None:
             wq_g = jax.lax.dynamic_slice(diag_w_blk, (base, 0), (G, MAXC))
         elif diag_w is not None:
@@ -631,7 +639,7 @@ def pos_scatter_blocked(coeff: Array, B: Array, take: Array, src: Array,
     return out
 
 
-def pos_gap_blocked(dT: Array, rows: Array, own: Array, inv: Array,
+def pos_gap_blocked(dT: Array, rows: Array, own: Array, inv: Array | None,
                     block_rows: int) -> Array:
     """Blocked-sorted residual gap: gap[t] = <dT[own_t], B[take_t]> for every
     ORIGINAL stream entry (the update_side/update_cross "gaps" pass, ref
@@ -647,7 +655,11 @@ def pos_gap_blocked(dT: Array, rows: Array, own: Array, inv: Array,
     layout's static original->slot map) permutes the result back to stream
     order; entries outside the layout land on slot 0 and are killed by the
     caller's pad-weight multiply.  Pad slots have an all-zero one-hot row, so
-    their gap is exactly 0."""
+    their gap is exactly 0.
+
+    ``inv`` None: return the FLAT (n_blocks * MAXC,) slot-order result with
+    no permute at all — for callers that carry the residual itself in slot
+    order (the solver's OCFFM_BLK_YT mode)."""
     n_blocks, MAXC = own.shape
     k = rows.shape[2]
     dt = rows.dtype
@@ -675,7 +687,67 @@ def pos_gap_blocked(dT: Array, rows: Array, own: Array, inv: Array,
 
     flat = jax.lax.fori_loop(0, n_groups, outer,
                              jnp.zeros(n_blocks * MAXC, dt))
-    return flat[inv]
+    return flat if inv is None else flat[inv]
+
+
+def seg_sum_blocked(c_blk: Array, own: Array, num_rows: int,
+                    block_rows: int) -> Array:
+    """Per-row sums of slot-order per-entry values: out[s] = sum over the
+    slots whose entry belongs to row s (segment_sum as per-block one-hot
+    matvecs — sequential streaming, no random access; the blocked form of
+    gd_side's per-positive sum, ref ffm.cpp:537-592).
+
+    ``c_blk``: (n_blocks, MAXC) values in slot order.  Pad slots have an
+    all-zero one-hot row, so they contribute exactly 0 whatever they hold."""
+    n_blocks, MAXC = own.shape
+    dt = c_blk.dtype
+    G = _blk_group(n_blocks, MAXC, 1, jnp.dtype(dt).itemsize)
+    n_groups = -(-n_blocks // G)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (MAXC, block_rows), 1)
+
+    def outer(g, out):
+        base = jnp.minimum(g * G, n_blocks - G)
+        own_g = jax.lax.dynamic_slice(own, (base, 0), (G, MAXC))
+        c_g = jax.lax.dynamic_slice(c_blk, (base, 0), (G, MAXC))
+
+        def inner(j, out):
+            ohm = (own_g[j][:, None] == iota).astype(dt)   # (MAXC, BM)
+            blockv = _blocked_dot(ohm.T, c_g[j][:, None], dt)[:, 0]
+            return jax.lax.dynamic_update_slice(
+                out, blockv, ((base + j) * block_rows,))
+
+        return jax.lax.fori_loop(0, G, inner, out)
+
+    return jax.lax.fori_loop(0, n_groups, outer, jnp.zeros(num_rows, dt))
+
+
+def expand_rows_blocked(vec: Array, own: Array, block_rows: int) -> Array:
+    """Per-slot copy of a per-row vector, in slot order: out flat slot t =
+    vec[row owning t] (the gather vec[seg_ids] as per-block one-hot matvecs
+    — ``vec`` is read sequentially, no random access).  Pad slots get
+    exactly 0 (all-zero one-hot row)."""
+    n_blocks, MAXC = own.shape
+    dt = vec.dtype
+    G = _blk_group(n_blocks, MAXC, 1, jnp.dtype(dt).itemsize)
+    n_groups = -(-n_blocks // G)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (MAXC, block_rows), 1)
+
+    def outer(g, flat):
+        base = jnp.minimum(g * G, n_blocks - G)
+        own_g = jax.lax.dynamic_slice(own, (base, 0), (G, MAXC))
+
+        def inner(j, flat):
+            ohm = (own_g[j][:, None] == iota).astype(dt)   # (MAXC, BM)
+            row0 = (base + j) * block_rows
+            vb = jax.lax.dynamic_slice(vec, (row0,), (block_rows,))
+            slot = _blocked_dot(ohm, vb[:, None], dt)[:, 0]  # (MAXC,)
+            return jax.lax.dynamic_update_slice(
+                flat, slot, ((base + j) * MAXC,))
+
+        return jax.lax.fori_loop(0, G, inner, flat)
+
+    return jax.lax.fori_loop(0, n_groups, outer,
+                             jnp.zeros(n_blocks * MAXC, dt))
 
 
 def pos_hv_blocked(phi: Array, B: Array, w: Array, take: Array, src: Array,

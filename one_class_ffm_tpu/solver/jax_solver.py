@@ -6,7 +6,9 @@ reference ffm.cpp:314-870).  Same math, different architecture:
   * the C++ stores residuals inside mutable label nodes and updates them in
     place (ffm.cpp:388-403, 405-465); here the residual vector ``yt`` over the
     flat COO positive stream is *carried functionally* through the epoch and
-    updated with pure array ops.
+    updated with pure array ops.  (Under OCFFM_BLK_YT the carry lives in the
+    blocked SLOT orders — ``yt_u``/``yt_v`` — so the hot passes touch it
+    only elementwise/sequentially; same floats, permuted positions.)
   * OpenMP parallel-for over rows (ffm.cpp:328,572,...) becomes batched
     matmul / segment_sum primitives that XLA maps onto the MXU and that GSPMD
     can shard over a device mesh (rows on the ``data`` axis).
@@ -205,17 +207,32 @@ def make_device_data(
         data["blk_u_src"] = jnp.asarray(blk["src"])
         data["blk_u_own"] = jnp.asarray(blk["own"])
         # pre-permuted pad-mask weights: pos_w is static, so the per-CG-
-        # iteration random scalar gather w[src] is paid once, here
+        # iteration random scalar gather w[src] is paid once, here.
+        # Masked to exactly 0 at structural pad slots (own == BM) — every
+        # consumer's pad contributions already die via the all-zero one-hot
+        # row, and the mask makes the array double as the slot-order pad
+        # mask for the residual carry (OCFFM_BLK_YT).
         # (src_abs: the shard-local layout's src is slice-relative)
         data["blk_u_w"] = jnp.asarray(
-            y.w[blk.get("src_abs", blk["src"])], dtype)
+            y.w[blk.get("src_abs", blk["src"])]
+            * (blk["own"] < blk["block_rows"]), dtype)
         data["blk_u_inv"] = jnp.asarray(blk["inv"])
     if blk_v is not None:
         data["blk_v_take"] = jnp.asarray(blk_v["take"])
         data["blk_v_src"] = jnp.asarray(blk_v["src"])
         data["blk_v_own"] = jnp.asarray(blk_v["own"])
-        data["blk_v_w"] = jnp.asarray(y.w[blk_v["src"]], dtype)
+        data["blk_v_w"] = jnp.asarray(
+            y.w[blk_v["src"]] * (blk_v["own"] < blk_v["block_rows"]), dtype)
         data["blk_v_inv"] = jnp.asarray(blk_v["inv"])
+    if blk is not None and blk_v is not None:
+        # cross-order slot maps for the slot-order residual carry
+        # (OCFFM_BLK_YT): for each slot of one side's layout, the FLAT slot
+        # index of the same stream entry in the OTHER side's layout.  Static
+        # — lets a gap computed flat in the solving side's order propagate
+        # to the other side's carried residual with ONE scalar gather
+        # (pad slots land anywhere; the blk_*_w mask kills them).
+        data["blk_u_from_v"] = jnp.asarray(blk_v["inv"][blk["src"]])
+        data["blk_v_from_u"] = jnp.asarray(blk["inv"][blk_v["src"]])
     return meta, data
 
 
@@ -231,6 +248,7 @@ def make_device_data(
 # pos_dot / pos_scatter are the COO positive-pass reductions with bounded
 # (chunk, k) intermediates — a full (nnz, k) gather OOMs at scale.
 from ..ops.sparse_ops import (  # noqa: E402
+    expand_rows_blocked,
     gather_blocked_rows,
     pos_dot,
     pos_gap_blocked,
@@ -238,6 +256,7 @@ from ..ops.sparse_ops import (  # noqa: E402
     pos_hv_blocked,
     pos_hv_blocked_pallas,
     pos_scatter,
+    seg_sum_blocked,
     pos_scatter_blocked,
     pos_scatter_pair,
     project,
@@ -375,6 +394,23 @@ class FFMSolver:
         gmode = _os.environ.get("OCFFM_BLK_GAP", "auto").lower()
         gap_want = gmode not in ("0", "off", "false")
         self.blk_gap = gap_want and meta.blocked_shards == 1
+        # Slot-order residual carry (OCFFM_BLK_YT, default "auto"): carry yt
+        # in BOTH sides' blocked slot orders instead of stream order.  The
+        # gradient coefficient c = pos_coeff(yt) * w then never needs the
+        # per-solve (nnz,) random scalar gather c[src] — it is elementwise on
+        # the carried array — and the gap pass skips its inverse permute on
+        # the solving side (only the propagation to the OTHER side's order
+        # pays one static scalar gather).  Values are bit-identical to the
+        # stream carry: the same floats live at permuted positions.
+        # Requires every solve to run fully blocked: both layouts present,
+        # pre-gather on both sides, the blocked gap, single-shard stream.
+        ymode = _os.environ.get("OCFFM_BLK_YT", "auto").lower()
+        yt_want = ymode not in ("0", "off", "false")
+        self.blk_yt = (yt_want and self.blk_gap
+                       and self.pregather_u and self.pregather_v
+                       and "blk_u_from_v" in data)
+        # residual array to sync/inspect on (bench, profiling scripts)
+        self.yt_key = "yt_u" if self.blk_yt else "yt"
         # donate the carried state: P/Q/a/b/yt buffers are dead after the
         # epoch returns their successors (no-op on backends without donation)
         self._epoch = jax.jit(self._epoch_entry, donate_argnums=(0,))
@@ -487,7 +523,26 @@ class FFMSolver:
             Q[b.f12] = self._proj(b, False, params[b.f12]["H"])
         a, b_vec = self._side_sums(P, Q)
         yt = self._pos_scores(P, Q, a, b_vec) - 1.0
-        return dict(params=params, P=P, Q=Q, a=a, b=b_vec, yt=yt)
+        if not self.blk_yt:
+            return dict(params=params, P=P, Q=Q, a=a, b=b_vec, yt=yt)
+        # slot-order carry: the stream residual permuted into each side's
+        # blocked layout (one-time gathers; epochs then never touch stream
+        # order).  The blk_*_w multiply zeroes structural pad slots.
+        d = self.data
+        return dict(
+            params=params, P=P, Q=Q, a=a, b=b_vec,
+            yt_u=yt[d["blk_u_src"]] * d["blk_u_w"],
+            yt_v=yt[d["blk_v_src"]] * d["blk_v_w"],
+        )
+
+    def yt_stream(self, state) -> Array:
+        """The positive-stream residual in ORIGINAL stream order, pad-masked
+        (x pos_w) — stream order is diagnostics-only under the slot-order
+        carry (every consumer of yt multiplies by the pad mask anyway)."""
+        d = self.data
+        if "yt" in state:
+            return state["yt"] * d["pos_w"]
+        return state["yt_u"].reshape(-1)[d["blk_u_inv"]] * d["pos_w"]
 
     def _side_sums(self, P, Q) -> Tuple[Array, Array]:
         """a_i / b_j self-interaction sums (calc_side, ffm.cpp:360-373)."""
@@ -543,7 +598,6 @@ class FFMSolver:
         i1, v1, reg, rows = self._side_arrays(b, first)
         T = state["params"][f12]["W" if first else "H"]
         Q1 = state["Q"][f12] if first else state["P"][f12]
-        c = self._pos_coeff(state["yt"]) * d["pos_w"]
         # Padded rows of a/b/P/Q are exactly zero, so full-array sums equal
         # true-row sums — keeps every reduction GSPMD-shardable.
         if b.kind == "uu":
@@ -551,15 +605,29 @@ class FFMSolver:
             side = state["a"]
             s_cache = sa
             other_sum = jnp.sum(state["b"])
-            zpos = jax.ops.segment_sum(
-                c, d["pos_u"], num_segments=meta.m, indices_are_sorted=True
-            )
+            if self.blk_yt:
+                # slot-order carry: c is elementwise on yt_u and the
+                # per-row sum streams sequentially — no random access
+                zpos = seg_sum_blocked(
+                    self._pos_coeff(state["yt_u"]) * d["blk_u_w"],
+                    d["blk_u_own"], meta.m, meta.blocked_bm_u)
+            else:
+                c = self._pos_coeff(state["yt"]) * d["pos_w"]
+                zpos = jax.ops.segment_sum(
+                    c, d["pos_u"], num_segments=meta.m,
+                    indices_are_sorted=True)
         else:  # vv
             n_other = meta.m_true
             side = state["b"]
             s_cache = sb
             other_sum = jnp.sum(state["a"])
-            zpos = seg_sum(c, d["pos_v"], meta.n)
+            if self.blk_yt:
+                zpos = seg_sum_blocked(
+                    self._pos_coeff(state["yt_v"]) * d["blk_v_w"],
+                    d["blk_v_own"], meta.n, meta.blocked_bm_v)
+            else:
+                c = self._pos_coeff(state["yt"]) * d["pos_w"]
+                zpos = seg_sum(c, d["pos_v"], meta.n)
         z = hp.omega * (n_other * (side - hp.r) + other_sum + s_cache) + zpos
         return hp.lam * reg[:, None] * T + self._scat(
             b, first, z[:, None] * Q1, T.shape[0]
@@ -643,7 +711,16 @@ class FFMSolver:
         f12 = b.f12
         i1, v1, reg, rows = self._side_arrays(b, first)
         T = state["params"][f12]["W" if first else "H"]
-        c = self._pos_coeff(state["yt"]) * d["pos_w"]
+        if self.blk_yt:
+            # slot-order carry: the coefficient is elementwise on the carried
+            # residual — the (nnz,) random scalar gather c[src] disappears
+            pre_c = "blk_u_" if first else "blk_v_"
+            c = None
+            c_blk = self._pos_coeff(state["yt_u" if first else "yt_v"]) \
+                * d[pre_c + "w"]
+        else:
+            c = self._pos_coeff(state["yt"]) * d["pos_w"]
+            c_blk = None
         wq = (1.0 - hp.omega) * d["pos_w"]
         if first:
             Q1 = state["Q"][f12]  # (n, k)
@@ -675,7 +752,7 @@ class FFMSolver:
                     res = pos_scatter_blocked(
                         c, Q1, d["blk_u_take"], d["blk_u_src"],
                         d["blk_u_own"], meta.m, meta.blocked_bm_u,
-                        diag_w_blk=wq_blk, rows=rows_pre)
+                        diag_w_blk=wq_blk, rows=rows_pre, coeff_blk=c_blk)
                 zpos, posq = res if with_diag_pos else (res, None)
             elif with_diag_pos:
                 zpos, posq = pos_scatter_pair(
@@ -700,7 +777,8 @@ class FFMSolver:
                     c, P1, d["blk_v_take"], d["blk_v_src"], d["blk_v_own"],
                     meta.n, meta.blocked_bm_v,
                     diag_w_blk=((1.0 - hp.omega) * d["blk_v_w"]
-                                if with_diag_pos else None), rows=rows_pre)
+                                if with_diag_pos else None), rows=rows_pre,
+                    coeff_blk=c_blk)
                 zpos, posq = res if with_diag_pos else (res, None)
             elif with_diag_pos:
                 zpos, posq = pos_scatter_pair(
@@ -940,19 +1018,54 @@ class FFMSolver:
         state[cache_key] = caches
 
         other = state["Q"][f12] if first else state["P"][f12]
+        meta = self.meta
         if b.kind == "uu":
             da = jnp.sum(dP * other, axis=1)
             state["a"] = state["a"] + da
-            state["yt"] = state["yt"] + da[d["pos_u"]]
+            if self.blk_yt:
+                # own side: da expands per block (sequential); other side:
+                # blk_v_take IS pos_u in v-slot order — one scalar gather
+                state["yt_u"] = state["yt_u"] + expand_rows_blocked(
+                    da, d["blk_u_own"], meta.blocked_bm_u
+                ).reshape(state["yt_u"].shape)
+                state["yt_v"] = state["yt_v"] + da[d["blk_v_take"]] \
+                    * d["blk_v_w"]
+            else:
+                state["yt"] = state["yt"] + da[d["pos_u"]]
         elif b.kind == "vv":
             db = jnp.sum(dP * other, axis=1)
             state["b"] = state["b"] + db
-            state["yt"] = state["yt"] + db[d["pos_v"]]
+            if self.blk_yt:
+                state["yt_v"] = state["yt_v"] + expand_rows_blocked(
+                    db, d["blk_v_own"], meta.blocked_bm_v
+                ).reshape(state["yt_v"].shape)
+                state["yt_u"] = state["yt_u"] + db[d["blk_u_take"]] \
+                    * d["blk_u_w"]
+            else:
+                state["yt"] = state["yt"] + db[d["pos_v"]]
         else:
+            if self.blk_yt:
+                # gap lands directly in the solving side's slot order (no
+                # inverse permute); the other side's carry takes it through
+                # the static cross-order map — the only scalar gather left
+                pre = "blk_u_" if first else "blk_v_"
+                bm = meta.blocked_bm_u if first else meta.blocked_bm_v
+                gap_flat = pos_gap_blocked(dP, rows_pre, d[pre + "own"],
+                                           None, bm)
+                if first:
+                    state["yt_u"] = state["yt_u"] + gap_flat.reshape(
+                        state["yt_u"].shape) * d["blk_u_w"]
+                    state["yt_v"] = state["yt_v"] \
+                        + gap_flat[d["blk_v_from_u"]] * d["blk_v_w"]
+                else:
+                    state["yt_v"] = state["yt_v"] + gap_flat.reshape(
+                        state["yt_v"].shape) * d["blk_v_w"]
+                    state["yt_u"] = state["yt_u"] \
+                        + gap_flat[d["blk_u_from_v"]] * d["blk_u_w"]
+                return state
             if rows_pre is not None and self.blk_gap:
                 pre = "blk_u_" if first else "blk_v_"
-                bm = (self.meta.blocked_bm_u if first
-                      else self.meta.blocked_bm_v)
+                bm = meta.blocked_bm_u if first else meta.blocked_bm_v
                 gap = pos_gap_blocked(dP, rows_pre, d[pre + "own"],
                                       d[pre + "inv"], bm)
             else:
@@ -1064,13 +1177,10 @@ class FFMSolver:
         """
         meta, d = self.meta, self.data
         hp = meta.hp
-        P, Q, a, b_vec, yt = (
-            state["P"],
-            state["Q"],
-            state["a"],
-            state["b"],
-            state["yt"],
-        )
+        P, Q, a, b_vec = state["P"], state["Q"], state["a"], state["b"]
+        # slot-order carry: reconstruct the stream residual (pad-masked —
+        # exact here, every yt term below is multiplied by w anyway)
+        yt = state["yt"] if "yt" in state else self.yt_stream(state)
         m, n = meta.m_true, meta.n_true
         at = a[:m]
         bt = b_vec[:n]

@@ -95,7 +95,8 @@ def main() -> int:
         if variant == "no_gap":
             JS.pos_gap_blocked = (
                 lambda dT, rows, own, inv, bm, **kw:
-                jnp.zeros(inv.shape[0], rows.dtype))
+                jnp.zeros(own.shape[0] * own.shape[1] if inv is None
+                          else inv.shape[0], rows.dtype))
         if variant == "no_pair":
             JS.pos_scatter_pair = lambda a, b, B, t, s_, num, **kw: (
                 jnp.zeros((num, B.shape[1]), B.dtype),

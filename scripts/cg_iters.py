@@ -45,13 +45,13 @@ def main():
         solver = FFMSolver(meta, data)
         state = solver.init(jax.random.key(0))
         state, its = solver.epoch_stats(state)  # compile + warmup epoch
-        float(state["yt"][0])
+        float(state[solver.yt_key].reshape(-1)[0])
         print(f"[{mode}] warmup iters={np.asarray(its).tolist()}", flush=True)
         for ep in range(epochs):
             t0 = time.perf_counter()
             state, its = solver.epoch_stats(state)
             its_host = np.asarray(its)  # sync
-            float(state["yt"][0])
+            float(state[solver.yt_key].reshape(-1)[0])
             dt = time.perf_counter() - t0
             print(f"[{mode}] epoch {ep}: {dt*1e3:7.1f} ms "
                   f"iters={its_host.tolist()} total={int(its_host.sum())}",

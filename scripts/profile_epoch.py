@@ -63,11 +63,11 @@ def main() -> int:
         state = solver.init(jax.random.key(0))
         state = solver.epoch(state)  # warmup/compile
         jax.block_until_ready(state)
-        float(state["yt"][0])
+        float(state[solver.yt_key].reshape(-1)[0])
         t0 = time.perf_counter()
         for _ in range(epochs):
             state = solver.epoch(state)
-        float(state["yt"][0])
+        float(state[solver.yt_key].reshape(-1)[0])
         dt = (time.perf_counter() - t0) / epochs
         print(json.dumps({"cap": cap, "epoch_seconds": round(dt, 4),
                           "examples_per_sec": round(n_users / dt, 1)}),

@@ -347,25 +347,31 @@ def test_full_epoch_matches_oracle_pallas_hv(rng, monkeypatch):
         )
 
 
-@pytest.mark.parametrize("pregather", [False, True, "pre_nogap"])
+@pytest.mark.parametrize("pregather",
+                         [False, True, "pre_noyt", "pre_nogap"])
 @pytest.mark.parametrize("cfg", [dict(), dict(self_side=False),
                                  dict(cg_precond="none")])
 def test_full_epoch_matches_oracle_blocked_u(rng, cfg, pregather,
                                              monkeypatch):
     """Epochs with the u-side blocked-sorted positive ops (one-hot MXU
     block matmuls) must still match the fp64 oracle at 1e-6 — with and
-    without the per-solve row pre-gather (gather_blocked_rows), and with
-    the blocked residual gap (pos_gap_blocked, which rides the pre-gather)
-    both on and off."""
+    without the per-solve row pre-gather (gather_blocked_rows), with the
+    blocked residual gap (pos_gap_blocked, which rides the pre-gather) on
+    and off, and with the slot-order residual carry (OCFFM_BLK_YT, which
+    auto-engages when every solve is fully blocked) on and off."""
     monkeypatch.setenv("OCFFM_BLK_PREGATHER", "0" if not pregather else "1")
     if pregather == "pre_nogap":
         monkeypatch.setenv("OCFFM_BLK_GAP", "0")
+    if pregather == "pre_noyt":
+        monkeypatch.setenv("OCFFM_BLK_YT", "0")
     prob, params = make_problem(rng, **cfg)
     meta, data = to_device_problem(prob, row_pad=3, blocked_bm=4)
     assert meta.blocked_bm_u == 4, "blocked layout should have applied"
+    assert meta.blocked_bm_v == 4
     solver = FFMSolver(meta, data)
     assert solver.pregather_u == bool(pregather)
     assert solver.blk_gap == (pregather != "pre_nogap")
+    assert solver.blk_yt == (pregather is True)
     state = solver.refresh_caches({"params": oracle_params_to_jax(params)})
     with jax.disable_jit():
         for _ in range(2):
@@ -381,3 +387,41 @@ def test_full_epoch_matches_oracle_blocked_u(rng, cfg, pregather,
             np.asarray(state["params"][f12]["H"]), ref_params["H"][f12],
             rtol=1e-6, atol=1e-9, err_msg=f"H block {f12}",
         )
+
+def test_blk_yt_epoch_matches_stream_epoch(rng, monkeypatch):
+    """The slot-order residual carry (OCFFM_BLK_YT) computes exactly the
+    stream carry's math: cross gaps and gradient coefficients are the SAME
+    floats at permuted positions; self-block updates only reorder per-row
+    sums.  After two epochs on a self+cross config the params and residuals
+    must agree to fp noise."""
+    monkeypatch.setenv("OCFFM_BLK_PREGATHER", "1")
+    prob, params = make_problem(rng)  # self blocks + cross blocks
+
+    def run(flag):
+        monkeypatch.setenv("OCFFM_BLK_YT", flag)
+        meta, data = to_device_problem(prob, row_pad=3, blocked_bm=4)
+        solver = FFMSolver(meta, data)
+        assert solver.blk_yt == (flag == "1")
+        state = solver.refresh_caches(
+            {"params": oracle_params_to_jax(params)})
+        if flag == "1":
+            assert "yt" not in state and "yt_u" in state and "yt_v" in state
+        with jax.disable_jit():
+            for _ in range(2):
+                state = solver.epoch(state)
+        return solver, state
+
+    s0, st0 = run("0")
+    s1, st1 = run("1")
+    for f12 in st0["params"]:
+        for t in ("W", "H"):
+            np.testing.assert_allclose(
+                np.asarray(st1["params"][f12][t]),
+                np.asarray(st0["params"][f12][t]),
+                rtol=1e-12, atol=1e-14, err_msg=f"{t} block {f12}")
+    np.testing.assert_allclose(
+        np.asarray(s1.yt_stream(st1)), np.asarray(s0.yt_stream(st0)),
+        rtol=1e-12, atol=1e-14)
+    # objective reconstructs the stream residual under the slot carry
+    np.testing.assert_allclose(float(s1.objective(st1)),
+                               float(s0.objective(st0)), rtol=1e-12)

@@ -444,3 +444,61 @@ def test_blocked_scatter_diag_w_blk_bit_equal(rng):
                                     diag_w_blk=wq[src])
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
     np.testing.assert_array_equal(np.asarray(gotq), np.asarray(refq))
+
+
+def test_blocked_scatter_coeff_blk_bit_equal(rng):
+    """coeff_blk (coefficients already in slot order, the OCFFM_BLK_YT form)
+    is bit-equal to the coeff[src] gather form — same floats, same matmuls."""
+    from one_class_ffm_tpu.ops.sparse_ops import (
+        make_blocked_layout,
+        pos_scatter_blocked,
+    )
+
+    num, n_other, k, nnz, BM = 24, 11, 5, 93, 4
+    u = np.sort(rng.integers(0, num, size=nnz)).astype(np.int32)
+    v = rng.integers(0, n_other, size=nnz).astype(np.int32)
+    blk = make_blocked_layout(u, v, num, block_rows=BM, max_pad_ratio=50.0)
+    B = jnp.asarray(rng.normal(size=(n_other, k)))
+    coeff = rng.random(nnz)
+    take = jnp.asarray(blk["take"])
+    src = jnp.asarray(blk["src"])
+    own = jnp.asarray(blk["own"])
+
+    ref = pos_scatter_blocked(jnp.asarray(coeff), B, take, src, own, num, BM)
+    got = pos_scatter_blocked(None, B, take, None, own, num, BM,
+                              coeff_blk=jnp.asarray(coeff[blk["src"]]))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_seg_sum_and_expand_blocked(rng):
+    """seg_sum_blocked == segment_sum over kept entries; expand_rows_blocked
+    == vec[seg_id] at kept slots and exactly 0 at structural pads — the two
+    sequential-streaming primitives the slot-order residual carry uses for
+    self-block updates."""
+    from one_class_ffm_tpu.ops.sparse_ops import (
+        expand_rows_blocked,
+        make_blocked_layout,
+        seg_sum_blocked,
+    )
+
+    m, nnz, BM = 24, 93, 4
+    u = np.sort(rng.integers(0, m, size=nnz)).astype(np.int32)
+    v = rng.integers(0, 16, size=nnz).astype(np.int32)
+    w = (rng.random(nnz) > 0.2).astype(np.float64)  # some dropped entries
+    blk = make_blocked_layout(u, v, m, block_rows=BM, max_pad_ratio=50.0,
+                              drop=(w == 0))
+    assert blk is not None
+    own = jnp.asarray(blk["own"])
+    msk = (blk["own"] < BM).astype(np.float64)
+
+    c = rng.normal(size=nnz)
+    c_blk = jnp.asarray(c[blk["src"]] * msk)
+    got = seg_sum_blocked(c_blk, own, m, BM)
+    ref = np.zeros(m)
+    np.add.at(ref, u[w > 0], c[w > 0])
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-12, atol=1e-14)
+
+    vec = rng.normal(size=m)
+    got2 = expand_rows_blocked(jnp.asarray(vec), own, BM)
+    ref2 = (vec[u[blk["src"]]] * msk).reshape(-1)
+    np.testing.assert_allclose(np.asarray(got2), ref2, rtol=1e-12, atol=0)
