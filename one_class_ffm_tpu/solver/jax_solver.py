@@ -216,7 +216,10 @@ def make_device_data(
         data["blk_u_w"] = jnp.asarray(
             y.w[blk.get("src_abs", blk["src"])]
             * (blk["own"] < blk["block_rows"]), dtype)
-        data["blk_u_inv"] = jnp.asarray(blk["inv"])
+        if blocked_shards == 1:
+            # the inv permute is only consumed by the blocked gap / slot
+            # carry, both gated off in sharded mode — don't ship dead HBM
+            data["blk_u_inv"] = jnp.asarray(blk["inv"])
     if blk_v is not None:
         data["blk_v_take"] = jnp.asarray(blk_v["take"])
         data["blk_v_src"] = jnp.asarray(blk_v["src"])
@@ -224,13 +227,17 @@ def make_device_data(
         data["blk_v_w"] = jnp.asarray(
             y.w[blk_v["src"]] * (blk_v["own"] < blk_v["block_rows"]), dtype)
         data["blk_v_inv"] = jnp.asarray(blk_v["inv"])
-    if blk is not None and blk_v is not None:
+    import os as _os
+    if (blk is not None and blk_v is not None
+            and _os.environ.get("OCFFM_BLK_YT", "auto").lower()
+            not in ("0", "off", "false")):
         # cross-order slot maps for the slot-order residual carry
         # (OCFFM_BLK_YT): for each slot of one side's layout, the FLAT slot
         # index of the same stream entry in the OTHER side's layout.  Static
         # — lets a gap computed flat in the solving side's order propagate
         # to the other side's carried residual with ONE scalar gather
-        # (pad slots land anywhere; the blk_*_w mask kills them).
+        # (pad slots land anywhere; the blk_*_w mask kills them).  Skipped
+        # when the carry is env-disabled (the solver gate keys on presence).
         data["blk_u_from_v"] = jnp.asarray(blk_v["inv"][blk["src"]])
         data["blk_v_from_u"] = jnp.asarray(blk["inv"][blk_v["src"]])
     return meta, data
@@ -721,7 +728,6 @@ class FFMSolver:
         else:
             c = self._pos_coeff(state["yt"]) * d["pos_w"]
             c_blk = None
-        wq = (1.0 - hp.omega) * d["pos_w"]
         if first:
             Q1 = state["Q"][f12]  # (n, k)
             oQ = jnp.sum(Q1, axis=0)
@@ -755,9 +761,12 @@ class FFMSolver:
                         diag_w_blk=wq_blk, rows=rows_pre, coeff_blk=c_blk)
                 zpos, posq = res if with_diag_pos else (res, None)
             elif with_diag_pos:
+                assert c is not None, "slot carry requires the blocked path"
+                wq = (1.0 - hp.omega) * d["pos_w"]
                 zpos, posq = pos_scatter_pair(
                     c, wq, Q1, d["pos_v"], d["pos_u"], meta.m, seg_sorted=True)
             else:
+                assert c is not None, "slot carry requires the blocked path"
                 zpos = pos_scatter(c, Q1, d["pos_v"], d["pos_u"], meta.m,
                                    seg_sorted=True)
         else:
@@ -781,9 +790,12 @@ class FFMSolver:
                     coeff_blk=c_blk)
                 zpos, posq = res if with_diag_pos else (res, None)
             elif with_diag_pos:
+                assert c is not None, "slot carry requires the blocked path"
+                wq = (1.0 - hp.omega) * d["pos_w"]
                 zpos, posq = pos_scatter_pair(
                     c, wq, P1, d["pos_u"], d["pos_v"], meta.n)
             else:
+                assert c is not None, "slot carry requires the blocked path"
                 zpos = pos_scatter(c, P1, d["pos_u"], d["pos_v"], meta.n)
         Z = dense + zpos
         G = hp.lam * reg[:, None] * T + self._scat(b, first, Z, T.shape[0])

@@ -360,10 +360,12 @@ def test_full_epoch_matches_oracle_blocked_u(rng, cfg, pregather,
     and off, and with the slot-order residual carry (OCFFM_BLK_YT, which
     auto-engages when every solve is fully blocked) on and off."""
     monkeypatch.setenv("OCFFM_BLK_PREGATHER", "0" if not pregather else "1")
-    if pregather == "pre_nogap":
-        monkeypatch.setenv("OCFFM_BLK_GAP", "0")
-    if pregather == "pre_noyt":
-        monkeypatch.setenv("OCFFM_BLK_YT", "0")
+    # pin the gap/carry envs (not just the variant under test) so the
+    # assertions below hold regardless of ambient OCFFM_* settings
+    monkeypatch.setenv("OCFFM_BLK_GAP",
+                       "0" if pregather == "pre_nogap" else "auto")
+    monkeypatch.setenv("OCFFM_BLK_YT",
+                       "0" if pregather == "pre_noyt" else "auto")
     prob, params = make_problem(rng, **cfg)
     meta, data = to_device_problem(prob, row_pad=3, blocked_bm=4)
     assert meta.blocked_bm_u == 4, "blocked layout should have applied"
