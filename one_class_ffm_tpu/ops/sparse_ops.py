@@ -814,6 +814,381 @@ def pos_hv_blocked(phi: Array, B: Array, w: Array, take: Array, src: Array,
                              jnp.zeros((num_out, k), dt))
 
 
+# ---------------------------------------------------------------------------
+# Fused table-space kernels: the X projection / X^T scatter pair folded into
+# the per-CG-iteration pass
+# ---------------------------------------------------------------------------
+#
+# A non-identity-field solve pays, on EVERY CG iteration, the table pair
+# around the positive pass (ref UTx ffm.cpp:314-331 and the X^T z scatter in
+# hs_side/hs_cross ffm.cpp:594-628,706-742):
+#
+#     phi = X1 @ V          random gather from the (D, k) table
+#     Hv  = X1^T @ zp       chunked one-hot scatter over all rows
+#
+# plus two full (rows, k) HBM round trips for phi and zp.  For SMALL D
+# (category-style fields, D <= OCFFM_FUSED_TBL_D) both collapse into the
+# blocked positive pass itself: each grid step builds the row block's one-hot
+# X on the fly, projects by MXU matmul (xoh @ V, V VMEM-resident), runs the
+# positive math, and accumulates the TABLE-SPACE result xoh^T @ zp into a
+# VMEM-resident (D, k) output (constant out index_map -> the block never
+# leaves VMEM until the grid ends).  phi and zp never exist in HBM, no
+# random access remains anywhere in the pass.
+
+
+def _xoh_block(idx_t_ref, val_t_ref, d: int, dt, square: bool = False):
+    """TRANSPOSED one-hot X row block (d, BM) built in-kernel: sum over the
+    p feature slots of val_s * OneHot(idx_s)^T (val_s^2 with ``square`` —
+    the Hessian diagonal's X^2).  Indices/values arrive TRANSPOSED, (p, BM):
+    a (1, BM) slot row broadcasts along SUBLANES against the (d, BM) iota,
+    which Mosaic lowers directly — the (BM, 1)-along-LANES broadcast of the
+    untransposed form is an invalid relayout on TPU.  Pad slots carry
+    val == 0 and contribute zero rows; idx never reaches table pad rows, so
+    those output rows accumulate exactly zero."""
+    p, BM = idx_t_ref.shape
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (d, BM), 0)
+    xoh = jnp.zeros((d, BM), dt)
+    for s in range(p):
+        v = val_t_ref[s:s + 1, :]
+        if square:
+            v = v * v
+        # compare -> cast -> multiply: jnp.where with a (1, BM) operand asks
+        # Mosaic for a replicated i1 relayout it cannot produce
+        xoh = xoh + (idx_t_ref[s:s + 1, :] == iota_d).astype(dt) * v
+    return xoh
+
+
+def _hv_self_tbl_kernel(x_idx_ref, x_val_ref, q1_ref, dd_ref, v_ref, out_ref):
+    """One row block of the fused SELF-block Hv (hs_side, ffm.cpp:594-628)
+    in table space:  out += X_b^T (dd_b * <Q1_b, X_b V> Q1_b)."""
+    from jax.experimental import pallas as pl
+
+    dt = q1_ref.dtype
+    acc_t = jnp.promote_types(dt, jnp.float32)
+    d = v_ref.shape[0]
+    xoh_t = _xoh_block(x_idx_ref, x_val_ref, d, dt)             # (d, BM)
+    phib = jax.lax.dot_general(
+        xoh_t, v_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=acc_t).astype(dt)                # (BM, k)
+    q1 = q1_ref[...]
+    s = dd_ref[...] * jnp.sum(q1 * phib, axis=1, keepdims=True)  # (BM, 1)
+    zpb = (s * q1).astype(dt)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += jax.lax.dot(xoh_t, zpb,
+                                preferred_element_type=out_ref.dtype)
+
+
+def _pad_rows16(T: Array) -> Array:
+    d = T.shape[0]
+    dk = -(-d // 16) * 16  # sublane-friendly for every dtype
+    return T if dk == d else jnp.pad(T, ((0, dk - d), (0, 0)))
+
+
+def hv_self_tbl_pallas(V: Array, x_idx_t: Array, x_val_t: Array, Q1: Array,
+                       dd: Array, block_rows: int,
+                       interpret: bool = False) -> Array:
+    """Fused self-block Hv positive term in table space (see the section
+    comment): returns X^T diag(dd <Q1, X V>) Q1 as one streamed pass —
+    Q1/dd/x blocks read sequentially, V and the (D, k) accumulator
+    VMEM-resident, zero random access.  ``dd`` is (rows, 1);
+    ``x_idx_t``/``x_val_t`` are the TRANSPOSED (p, rows) feature arrays
+    (see _xoh_block for why)."""
+    from jax.experimental import pallas as pl
+
+    d, k = V.shape
+    Vp = _pad_rows16(V)
+    dk = Vp.shape[0]
+    p, m = x_idx_t.shape
+    out = pl.pallas_call(
+        _hv_self_tbl_kernel,
+        grid=(m // block_rows,),
+        in_specs=[
+            pl.BlockSpec((p, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((p, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
+            pl.BlockSpec((dk, k), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((dk, k), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (dk, k), jnp.promote_types(V.dtype, jnp.float32)),
+        interpret=interpret,
+    )(x_idx_t, x_val_t, Q1, dd, Vp)
+    return out[:d]
+
+
+def _hv_tbl_kernel(w_scale: float, x_idx_ref, x_val_ref, rows_ref, own_ref,
+                   w_ref, dense_ref, v_ref, out_ref):
+    """One row block of the fused CROSS-block Hv (hs_cross,
+    ffm.cpp:706-742) in table space: the _hv_blk_kernel positive + omega
+    math with the X projection fused in front (phib = X_b V by one-hot
+    matmul) and the X^T scatter fused behind (out += X_b^T zp_b, VMEM
+    accumulation)."""
+    from jax.experimental import pallas as pl
+
+    dt = rows_ref.dtype
+    acc_t = jnp.promote_types(dt, jnp.float32)
+    rows = rows_ref[0]                                    # (MAXC, k)
+    MAXC = rows.shape[0]
+    d = v_ref.shape[0]
+    xoh_t = _xoh_block(x_idx_ref, x_val_ref, d, dt)       # (d, BM)
+    BM = xoh_t.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BM, MAXC), 0)
+    ohm_t = (own_ref[0] == iota).astype(dt)               # (BM, MAXC)
+    phib = jax.lax.dot_general(
+        xoh_t, v_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=acc_t).astype(dt)          # (BM, k)
+    phig = jax.lax.dot_general(
+        ohm_t, phib, (((0,), (0,)), ((), ())),
+        preferred_element_type=acc_t).astype(dt)          # (MAXC, k)
+    pq = jnp.sum(phig * rows, axis=1, keepdims=True)      # (MAXC, 1)
+    lhs = ohm_t * (w_ref[0] * jnp.asarray(w_scale, dt))
+    zpb = jax.lax.dot(lhs, pq * rows, preferred_element_type=acc_t)
+    zpb = zpb + jax.lax.dot(phib, dense_ref[...],
+                            preferred_element_type=acc_t)
+    zpb = zpb.astype(dt)  # one cast, as the unfused path's zp block
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += jax.lax.dot(xoh_t, zpb,
+                                preferred_element_type=out_ref.dtype)
+
+
+def pos_hv_tbl_pallas(V: Array, x_idx_t: Array, x_val_t: Array, rows: Array,
+                      own: Array, w_blk: Array, dense_mat: Array,
+                      block_rows: int, w_scale: float = 1.0,
+                      interpret: bool = False) -> Array:
+    """Fused cross-block CG positive pass in TABLE space:
+
+        out = X^T [ OneHot(own)^T (w <X V-gather, rows> rows)
+                    + (X V) @ dense_mat ]                       (D, k)
+
+    Everything pos_hv_blocked_pallas needs plus the X one-hot per row block;
+    the (rows, k) phi/zp intermediates never touch HBM and the X table pair
+    (the non-identity-field per-iteration cost, docs/PERF.md no_tbl_scatter)
+    disappears into the same streamed pass.  Requires the pre-gathered
+    stream (``rows``) and pre-permuted weights (``w_blk``) like the plain
+    Mosaic hv kernel; ``x_idx_t``/``x_val_t`` are TRANSPOSED (p, rows);
+    output accumulates in f32."""
+    from jax.experimental import pallas as pl
+
+    d, k = V.shape
+    Vp = _pad_rows16(V)
+    dk = Vp.shape[0]
+    n_blocks, MAXC = own.shape
+    p = x_idx_t.shape[0]
+    kern = functools.partial(_hv_tbl_kernel, w_scale)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((p, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((p, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((1, MAXC, k), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((k, k), lambda i: (0, 0)),
+            pl.BlockSpec((dk, k), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((dk, k), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (dk, k), jnp.promote_types(V.dtype, jnp.float32)),
+        interpret=interpret,
+    )(x_idx_t, x_val_t, rows, own.reshape(n_blocks, 1, MAXC),
+      w_blk.reshape(n_blocks, 1, MAXC), dense_mat, Vp)
+    return out[:d]
+
+
+def _grad_self_tbl_kernel(with_diag: bool, x_idx_ref, x_val_ref, q1_ref,
+                          zdense_ref, dd_ref, own_ref, c_ref, outg_ref,
+                          *outq_ref):
+    """One row block of the fused SELF-block gradient (gd_side,
+    ffm.cpp:537-592) in table space:
+
+        z_b  = zdense_b + per-row sums of the slot coefficients
+        outg += X_b^T (z_b * Q1_b)
+        outq += (X_b^2)^T (dd_b * Q1_b^2)      (the Jacobi diag, optional)
+    """
+    from jax.experimental import pallas as pl
+
+    dt = q1_ref.dtype
+    acc_t = jnp.promote_types(dt, jnp.float32)
+    BM = q1_ref.shape[0]
+    MAXC = own_ref.shape[-1]
+    d = outg_ref.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BM, MAXC), 0)
+    ohm_t = (own_ref[0] == iota).astype(dt)               # (BM, MAXC)
+    zpos = jnp.sum((ohm_t * c_ref[0]).astype(acc_t), axis=1,
+                   keepdims=True)                          # (BM, 1)
+    q1 = q1_ref[...]
+    zb = (zdense_ref[...] + zpos).astype(dt)
+    xoh_t = _xoh_block(x_idx_ref, x_val_ref, d, dt)       # (d, BM)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        outg_ref[...] = jnp.zeros_like(outg_ref)
+
+    outg_ref[...] += jax.lax.dot(xoh_t, zb * q1,
+                                 preferred_element_type=outg_ref.dtype)
+    if with_diag:
+        (oq,) = outq_ref
+        xoh2_t = _xoh_block(x_idx_ref, x_val_ref, d, dt, square=True)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            oq[...] = jnp.zeros_like(oq)
+
+        oq[...] += jax.lax.dot(xoh2_t, (dd_ref[...] * q1 * q1).astype(dt),
+                               preferred_element_type=oq.dtype)
+
+
+def grad_self_tbl_pallas(d: int, x_idx_t: Array, x_val_t: Array, Q1: Array,
+                         zdense: Array, own: Array, c_blk: Array,
+                         block_rows: int, dd: Array | None = None,
+                         interpret: bool = False):
+    """Fused self-block gradient positive+dense pass in table space:
+    X^T diag(zdense + seg-sum(c)) Q1, plus (with ``dd``) the Jacobi diag
+    (X^2)^T diag(dd) Q1^2 from the same streamed pass.  ``zdense``/``dd``
+    are (rows, 1); ``c_blk`` is the slot-order coefficients
+    (n_blocks, MAXC), pad slots killed by the all-zero one-hot column;
+    ``x_idx_t``/``x_val_t`` are TRANSPOSED (p, rows).
+    Returns (d, k) [, (d, k)] in the f32-floor accumulator dtype."""
+    from jax.experimental import pallas as pl
+
+    p, m = x_idx_t.shape
+    k = Q1.shape[1]
+    n_blocks, MAXC = own.shape
+    with_diag = dd is not None
+    dk = -(-d // 16) * 16
+    acc_t = jnp.promote_types(Q1.dtype, jnp.float32)
+    kern = functools.partial(_grad_self_tbl_kernel, with_diag)
+    out_shape = [jax.ShapeDtypeStruct((dk, k), acc_t)]
+    out_specs = [pl.BlockSpec((dk, k), lambda i: (0, 0))]
+    if with_diag:
+        out_shape.append(jax.ShapeDtypeStruct((dk, k), acc_t))
+        out_specs.append(pl.BlockSpec((dk, k), lambda i: (0, 0)))
+    res = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((p, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((p, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(x_idx_t, x_val_t, Q1, zdense,
+      dd if with_diag else jnp.zeros_like(zdense),
+      own.reshape(n_blocks, 1, MAXC), c_blk.reshape(n_blocks, 1, MAXC))
+    if with_diag:
+        return res[0][:d], res[1][:d]
+    return res[0][:d]
+
+
+def grad_cross_tbl_pallas(d: int, x_idx_t: Array, x_val_t: Array,
+                          rows: Array, own: Array, c_blk: Array,
+                          dense: Array, block_rows: int,
+                          w_blk: Array | None = None, wq_scale: float = 1.0,
+                          interpret: bool = False):
+    """Fused cross-block gradient positive+dense pass in table space:
+    X^T (dense + blocked-scatter(c, rows)), plus (with ``w_blk``) the Jacobi
+    diag positive term (X^2)^T blocked-scatter(wq_scale * w, rows^2) from
+    the same pass.  Consumes the solve's pre-gathered stream; the (rows, k)
+    Z intermediate never exists in HBM.  ``x_idx_t``/``x_val_t`` are
+    TRANSPOSED (p, rows).  Returns (d, k) [, (d, k)]."""
+    from jax.experimental import pallas as pl
+
+    p, m = x_idx_t.shape
+    n_blocks, MAXC, k = rows.shape
+    with_diag = w_blk is not None
+    dk = -(-d // 16) * 16
+    acc_t = jnp.promote_types(rows.dtype, jnp.float32)
+    kern = functools.partial(_grad_cross_tbl_kernel, with_diag, wq_scale)
+    out_shape = [jax.ShapeDtypeStruct((dk, k), acc_t)]
+    out_specs = [pl.BlockSpec((dk, k), lambda i: (0, 0))]
+    if with_diag:
+        out_shape.append(jax.ShapeDtypeStruct((dk, k), acc_t))
+        out_specs.append(pl.BlockSpec((dk, k), lambda i: (0, 0)))
+    res = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((p, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((p, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((1, MAXC, k), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(x_idx_t, x_val_t, rows, own.reshape(n_blocks, 1, MAXC),
+      c_blk.reshape(n_blocks, 1, MAXC),
+      (w_blk if with_diag else c_blk).reshape(n_blocks, 1, MAXC), dense)
+    if with_diag:
+        return res[0][:d], res[1][:d]
+    return res[0][:d]
+
+
+def _grad_cross_tbl_kernel(with_diag: bool, wq_scale: float, x_idx_ref,
+                           x_val_ref, rows_ref, own_ref, c_ref, w_ref,
+                           dense_ref, outg_ref, *outq_ref):
+    """One row block of the fused CROSS-block gradient (gd_cross,
+    ffm.cpp:630-703) in table space:
+
+        zpos_b = OneHot(own)^T (c * rows)
+        outg  += X_b^T (dense_b + zpos_b)
+        outq  += (X_b^2)^T OneHot(own)^T (wq * rows^2)   (optional diag)
+    """
+    from jax.experimental import pallas as pl
+
+    dt = rows_ref.dtype
+    acc_t = jnp.promote_types(dt, jnp.float32)
+    BM = dense_ref.shape[0]
+    rows = rows_ref[0]
+    MAXC = rows.shape[0]
+    d = outg_ref.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BM, MAXC), 0)
+    ohm_t = (own_ref[0] == iota).astype(dt)
+    zpos = jax.lax.dot(ohm_t * c_ref[0], rows,
+                       preferred_element_type=acc_t).astype(dt)  # (BM, k)
+    zb = dense_ref[...] + zpos
+    xoh_t = _xoh_block(x_idx_ref, x_val_ref, d, dt)       # (d, BM)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        outg_ref[...] = jnp.zeros_like(outg_ref)
+
+    outg_ref[...] += jax.lax.dot(xoh_t, zb,
+                                 preferred_element_type=outg_ref.dtype)
+    if with_diag:
+        (oq,) = outq_ref
+        posq = jax.lax.dot(
+            ohm_t * (w_ref[0] * jnp.asarray(wq_scale, dt)), rows * rows,
+            preferred_element_type=acc_t).astype(dt)
+        xoh2_t = _xoh_block(x_idx_ref, x_val_ref, d, dt, square=True)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            oq[...] = jnp.zeros_like(oq)
+
+        oq[...] += jax.lax.dot(xoh2_t, posq,
+                               preferred_element_type=oq.dtype)
+
+
 def _hv_blk_kernel(w_scale: float, rows_ref, own_ref, w_ref, phi_ref,
                    dense_ref, out_ref):
     """One output block of the fused CG positive term (see

@@ -202,6 +202,44 @@ def make_device_data(
     )
     data["reg_u"] = regs(u)
     data["reg_v"] = regs(v)
+
+    def colsq(pf: PaddedFields):
+        # per-feature sum of squared values ((X^2)^T 1), static — the fused
+        # table kernels' Jacobi-diag omega term (solver._side_colsq).  Pad
+        # slots carry val == 0 and pad table rows are never indexed.
+        out = []
+        for fi in range(pf.f):
+            a = np.zeros(meta.pad_d(pf.Ds[fi]), np.float64)
+            np.add.at(a, np.asarray(pf.idx[fi]).ravel(),
+                      np.asarray(pf.val[fi], np.float64).ravel() ** 2)
+            out.append(jnp.asarray(a, dtype))
+        return tuple(out)
+
+    data["colsq_u"] = colsq(u)
+    data["colsq_v"] = colsq(v)
+
+    import os as _os
+    fused_cap = int(_os.environ.get("OCFFM_FUSED_TBL_D", 4096))
+
+    def xt(pf: PaddedFields, idents):
+        # TRANSPOSED (p, rows) copies of the fields eligible for the fused
+        # table kernels (Mosaic needs slot rows, not slot columns — see
+        # ops._xoh_block).  Only non-identity small-D fields qualify, so
+        # the extra HBM is a few (p, rows) scalars.
+        out = []
+        for fi in range(pf.f):
+            if (blocked_bm and not idents[fi]
+                    and meta.pad_d(pf.Ds[fi]) <= fused_cap):
+                out.append((
+                    jnp.asarray(np.ascontiguousarray(pf.idx[fi].T)),
+                    jnp.asarray(np.ascontiguousarray(pf.val[fi].T), dtype),
+                ))
+            else:
+                out.append(None)
+        return tuple(out)
+
+    data["xt_u"] = xt(u, meta.ident_u)
+    data["xt_v"] = xt(v, meta.ident_v)
     if blk is not None:
         data["blk_u_take"] = jnp.asarray(blk["take"])
         data["blk_u_src"] = jnp.asarray(blk["src"])
@@ -257,11 +295,15 @@ def make_device_data(
 from ..ops.sparse_ops import (  # noqa: E402
     expand_rows_blocked,
     gather_blocked_rows,
+    grad_cross_tbl_pallas,
+    grad_self_tbl_pallas,
+    hv_self_tbl_pallas,
     pos_dot,
     pos_gap_blocked,
     pos_hv,
     pos_hv_blocked,
     pos_hv_blocked_pallas,
+    pos_hv_tbl_pallas,
     pos_scatter,
     seg_sum_blocked,
     pos_scatter_blocked,
@@ -391,6 +433,26 @@ class FFMSolver:
                                      self.pregather_v)
         self.pregather_u = self.pregather_u or self.pallas_hv_u
         self.pregather_v = self.pregather_v or self.pallas_hv_v
+        # Fused table-space kernels (OCFFM_FUSED_TBL, default "auto"): for a
+        # non-identity SMALL-D field, the per-CG-iteration X projection /
+        # X^T scatter pair folds into the blocked pass itself
+        # (ops.pos_hv_tbl_pallas / hv_self_tbl_pallas) — the (rows, k)
+        # phi/zp intermediates never touch HBM and no random table access
+        # remains.  "auto": on TPU wherever the shapes allow (the cross form
+        # additionally rides the pregather decision — it consumes the
+        # pre-gathered stream); "1" forces pregather on too (A/B at configs
+        # where pregather alone loses); "interpret" runs the kernels in
+        # Pallas interpret mode (CPU correctness tests).
+        fmode = _os.environ.get("OCFFM_FUSED_TBL", "auto").lower()
+        self.fused_interpret = fmode == "interpret"
+        self.fused_tbl = fmode not in ("0", "off", "false") and (
+            on_tpu or fmode in ("1", "on", "true", "interpret"))
+        self.fused_tbl_d = int(_os.environ.get("OCFFM_FUSED_TBL_D", 4096))
+        if fmode in ("1", "on", "true"):
+            if meta.blocked_bm_u and "blk_u_take" in data:
+                self.pregather_u = True
+            if meta.blocked_bm_v and "blk_v_take" in data:
+                self.pregather_v = True
         # Blocked residual gap (ops.pos_gap_blocked): with the solve's
         # pre-gathered stream in hand, the update pass's two per-stream
         # random row gathers (the plain pos_dot "gaps" form) collapse to
@@ -434,6 +496,16 @@ class FFMSolver:
         if fg < self.meta.layout.fu:
             return d["xu_idx"][fl], d["xu_val"][fl], d["reg_u"][fl], self.meta.m
         return d["xv_idx"][fl], d["xv_val"][fl], d["reg_v"][fl], self.meta.n
+
+    def _side_colsq(self, b: BlockInfo, first: bool):
+        """Static per-feature sum of squared values, (pad_d(D_f),) — the
+        (X^2)^T of a constant row is colsq x that row (the Jacobi diag's
+        omega term in the fused table path)."""
+        fg = b.f1 if first else b.f2
+        fl = b.fi if first else b.fj
+        if fg < self.meta.layout.fu:
+            return self.data["colsq_u"][fl]
+        return self.data["colsq_v"][fl]
 
     def _side_ident(self, b: BlockInfo, first: bool):
         """(is_identity, padded_rows, true_rows) for the block side."""
@@ -593,12 +665,16 @@ class FFMSolver:
         hp = self.meta.hp
         return (1.0 - hp.omega) * yt - hp.omega * (1.0 - hp.r)
 
-    def _grad_self(self, state, b: BlockInfo, first: bool, sa, sb) -> Array:
+    def _grad_self(self, state, b: BlockInfo, first: bool, sa, sb,
+                   want_diag: bool = False):
         """Gradient for one table of a self block (gd_side, ffm.cpp:537-592).
 
         z_i = w [ n (a_i - r) + sum(b) + sa_i ] + sum_{j in pos_i} c_ij
         G   = lam * reg * T + X1^T diag(z) Q1
-        """
+
+        ``want_diag``: also return the Jacobi diag's scatter term — fused
+        into the same streamed pass when the table kernel applies, else
+        None (the caller falls back to _diag_H's own pass)."""
         meta, d = self.meta, self.data
         hp = meta.hp
         f12 = b.f12
@@ -608,37 +684,56 @@ class FFMSolver:
         # Padded rows of a/b/P/Q are exactly zero, so full-array sums equal
         # true-row sums — keeps every reduction GSPMD-shardable.
         if b.kind == "uu":
-            n_other = meta.n_true
-            side = state["a"]
-            s_cache = sa
+            n_other, side, s_cache = meta.n_true, state["a"], sa
             other_sum = jnp.sum(state["b"])
-            if self.blk_yt:
-                # slot-order carry: c is elementwise on yt_u and the
-                # per-row sum streams sequentially — no random access
-                zpos = seg_sum_blocked(
-                    self._pos_coeff(state["yt_u"]) * d["blk_u_w"],
-                    d["blk_u_own"], meta.m, meta.blocked_bm_u)
-            else:
-                c = self._pos_coeff(state["yt"]) * d["pos_w"]
-                zpos = jax.ops.segment_sum(
-                    c, d["pos_u"], num_segments=meta.m,
-                    indices_are_sorted=True)
+            pre, num, yt_key, cnt = "blk_u_", meta.m, "yt_u", d["cnt_u"]
         else:  # vv
-            n_other = meta.m_true
-            side = state["b"]
-            s_cache = sb
+            n_other, side, s_cache = meta.m_true, state["b"], sb
             other_sum = jnp.sum(state["a"])
+            pre, num, yt_key, cnt = "blk_v_", meta.n, "yt_v", d["cnt_v"]
+        fused = self._fused_tbl_side(b, first, T.shape[0])
+        if fused is not None:
+            # fused table kernel: dense term, positive seg-sum, X^T scatter
+            # (and optionally the Jacobi diag's (X^2)^T pass) in ONE
+            # streamed pass — no (rows, k) z intermediate, no random access
+            xi, xv, bm = fused
             if self.blk_yt:
-                zpos = seg_sum_blocked(
-                    self._pos_coeff(state["yt_v"]) * d["blk_v_w"],
-                    d["blk_v_own"], meta.n, meta.blocked_bm_v)
+                c_blk = self._pos_coeff(state[yt_key]) * d[pre + "w"]
             else:
                 c = self._pos_coeff(state["yt"]) * d["pos_w"]
-                zpos = seg_sum(c, d["pos_v"], meta.n)
+                c_blk = c[d[pre + "src"]]
+            zdense = (hp.omega * (n_other * (side - hp.r) + other_sum
+                                  + s_cache))[:, None].astype(meta.dtype)
+            dd2 = None
+            if want_diag and self.cg_precond == "jacobi":
+                dd2 = ((1.0 - hp.omega) * cnt
+                       + hp.omega * n_other)[:, None].astype(meta.dtype)
+            res = grad_self_tbl_pallas(
+                T.shape[0], xi, xv, Q1, zdense, d[pre + "own"], c_blk, bm,
+                dd=dd2, interpret=self.fused_interpret)
+            if dd2 is not None:
+                Gt, Dq = res
+                G = hp.lam * reg[:, None] * T + Gt.astype(meta.dtype)
+                return G, ("tbl", Dq.astype(meta.dtype))
+            G = hp.lam * reg[:, None] * T + res.astype(meta.dtype)
+            return (G, None) if want_diag else G
+        if self.blk_yt:
+            # slot-order carry: c is elementwise on the carried residual and
+            # the per-row sum streams sequentially — no random access
+            zpos = seg_sum_blocked(
+                self._pos_coeff(state[yt_key]) * d[pre + "w"],
+                d[pre + "own"], num,
+                meta.blocked_bm_u if b.kind == "uu" else meta.blocked_bm_v)
+        else:
+            c = self._pos_coeff(state["yt"]) * d["pos_w"]
+            zpos = jax.ops.segment_sum(
+                c, d["pos_u" if b.kind == "uu" else "pos_v"],
+                num_segments=num, indices_are_sorted=(b.kind == "uu"))
         z = hp.omega * (n_other * (side - hp.r) + other_sum + s_cache) + zpos
-        return hp.lam * reg[:, None] * T + self._scat(
+        G = hp.lam * reg[:, None] * T + self._scat(
             b, first, z[:, None] * Q1, T.shape[0]
         )
+        return (G, None) if want_diag else G
 
     # -- shard-aligned blocked positive passes (blocked_shards > 1) ----------
     #
@@ -728,6 +823,35 @@ class FFMSolver:
         else:
             c = self._pos_coeff(state["yt"]) * d["pos_w"]
             c_blk = None
+
+        def fused_grad(pre, dense):
+            """Fused table-space gradient (+ Jacobi diag) when the table
+            kernel applies: one streamed pass, no (rows, k) Z intermediate,
+            no table scatter passes (ops.grad_cross_tbl_pallas)."""
+            fused = (self._fused_tbl_side(b, first, T.shape[0])
+                     if rows_pre is not None else None)
+            if fused is None:
+                return None
+            xi, xv, bm = fused
+            cb = c_blk if c_blk is not None else c[d[pre + "src"]]
+            if with_diag_pos:
+                Gt, Qt = grad_cross_tbl_pallas(
+                    T.shape[0], xi, xv, rows_pre, d[pre + "own"], cb,
+                    dense, bm, w_blk=d[pre + "w"],
+                    wq_scale=(1.0 - hp.omega),
+                    interpret=self.fused_interpret)
+                B1 = state["Q"][f12] if first else state["P"][f12]
+                qtq_d = jnp.sum(B1 * B1, axis=0)  # pad rows are zero
+                colsq = self._side_colsq(b, first)
+                tblD = (hp.omega * colsq[:, None] * qtq_d[None, :]
+                        + Qt.astype(meta.dtype))
+                G = hp.lam * reg[:, None] * T + Gt.astype(meta.dtype)
+                return G, ("tbl", tblD)
+            Gt = grad_cross_tbl_pallas(
+                T.shape[0], xi, xv, rows_pre, d[pre + "own"], cb, dense,
+                bm, interpret=self.fused_interpret)
+            return hp.lam * reg[:, None] * T + Gt.astype(meta.dtype)
+
         if first:
             Q1 = state["Q"][f12]  # (n, k)
             oQ = jnp.sum(Q1, axis=0)
@@ -739,6 +863,9 @@ class FFMSolver:
             dense = hp.omega * (
                 (state["a"] - hp.r)[:, None] * oQ[None, :] + bQ[None, :] + gram_T
             )
+            fg = fused_grad("blk_u_", dense)
+            if fg is not None:
+                return fg
             if meta.blocked_bm_u and (rows_pre is not None
                                       or not with_diag_pos):
                 # blocked layout: segment-sum as MXU block matmuls.  Without
@@ -780,6 +907,9 @@ class FFMSolver:
             dense = hp.omega * (
                 (state["b"] - hp.r)[:, None] * oQ[None, :] + bQ[None, :] + gram_T
             )
+            fg = fused_grad("blk_v_", dense)
+            if fg is not None:
+                return fg
             if meta.blocked_bm_v and (rows_pre is not None
                                       or not with_diag_pos):
                 res = pos_scatter_blocked(
@@ -805,6 +935,31 @@ class FFMSolver:
 
     # -- Hessian-vector products ---------------------------------------------
 
+    def _fused_tbl_side(self, b: BlockInfo, first: bool, dim: int):
+        """(x_idx_t, x_val_t, block_rows) when the fused table-space kernel
+        applies to this solve's table side, else None: non-identity field,
+        D within the VMEM cap (the transposed arrays exist only then —
+        make_device_data), rows block-aligned (the side's blocked layout
+        exists), single-shard, Mosaic-supported dtype."""
+        if not self.fused_tbl or self.meta.blocked_shards > 1:
+            return None
+        ident, rows, _ = self._side_ident(b, first)
+        if ident or dim > self.fused_tbl_d:
+            return None
+        if not self.fused_interpret and self.meta.dtype not in (
+                jnp.float32, jnp.bfloat16):
+            return None
+        fg = b.f1 if first else b.f2
+        fl = b.fi if first else b.fj
+        u_side = fg < self.meta.layout.fu
+        bm = (self.meta.blocked_bm_u if u_side else self.meta.blocked_bm_v)
+        if not bm or rows % bm:
+            return None
+        xts = self.data.get("xt_u" if u_side else "xt_v")
+        if not xts or xts[fl] is None:
+            return None
+        return xts[fl][0], xts[fl][1], bm
+
     def _hv_self(self, state, b: BlockInfo, first: bool):
         """Hv closure for a self-block table (hs_side, ffm.cpp:594-628):
         d_i = (1-w)|pos_i| + w*n;  Hv = lam reg V + X1^T diag(d <Q1,Phi>) Q1.
@@ -818,6 +973,18 @@ class FFMSolver:
         else:
             dd = (1.0 - hp.omega) * d["cnt_v"] + hp.omega * meta.m_true
         dim = (state["params"][b.f12]["W" if first else "H"]).shape[0]
+
+        fused = self._fused_tbl_side(b, first, dim)
+        if fused is not None:
+            xi, xv, bm = fused
+            dd2 = dd[:, None].astype(self.meta.dtype)
+
+            def hv_fused(V: Array) -> Array:
+                G = hv_self_tbl_pallas(V, xi, xv, Q1, dd2, bm,
+                                       interpret=self.fused_interpret)
+                return hp.lam * reg[:, None] * V + G.astype(V.dtype)
+
+            return hv_fused
 
         def hv(V: Array) -> Array:
             phi = self._proj(b, first, V)
@@ -866,6 +1033,19 @@ class FFMSolver:
                           and rows_pre is not None and w_blk is not None)
 
             sharded = meta.blocked_shards > 1
+
+            fused = (self._fused_tbl_side(b, first, dim)
+                     if rows_pre is not None and w_blk is not None else None)
+            if fused is not None:
+                xi, xv, bm = fused
+
+                def hv_tbl(V: Array) -> Array:
+                    G = pos_hv_tbl_pallas(
+                        V, xi, xv, rows_pre, d[pre + "own"], w_blk, dmat,
+                        bm, w_scale=w_scale, interpret=self.fused_interpret)
+                    return hp.lam * reg[:, None] * V + G.astype(V.dtype)
+
+                return hv_tbl
 
             def hv_blocked(V: Array) -> Array:
                 phi = self._proj(b, first, V)  # (rows, k)
@@ -927,6 +1107,11 @@ class FFMSolver:
         if self.cg_precond != "jacobi":
             return None
         i1, v1, reg, rows = self._side_arrays(b, first)
+        if isinstance(posq, tuple) and posq[0] == "tbl":
+            # the fused table-space gradient already produced the complete
+            # scatter term (grad_*_tbl_pallas) — no pass of its own
+            D = hp.lam * reg[:, None] + posq[1]
+            return jnp.maximum(D, jnp.asarray(1e-12, D.dtype))
         Q1 = state["Q"][b.f12] if first else state["P"][b.f12]
         dim = (state["params"][b.f12]["W" if first else "H"]).shape[0]
         if b.kind == "uv":
@@ -1124,7 +1309,13 @@ class FFMSolver:
             hv = self._hv_cross(state, b, first, rows_pre=rows_pre)
         else:
             rows_pre = None
-            G = self._grad_self(state, b, first, sa, sb)
+            if jac:
+                # the fused table path returns the diag's scatter term from
+                # the gradient's own pass; None falls back to _diag_H's
+                G, posq = self._grad_self(state, b, first, sa, sb,
+                                          want_diag=True)
+            else:
+                G = self._grad_self(state, b, first, sa, sb)
             hv = self._hv_self(state, b, first)
         S, it = self._cg(hv, G, self._diag_H(state, b, first, posq))
         return self._apply_step(state, b, first, S, rows_pre=rows_pre), it

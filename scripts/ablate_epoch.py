@@ -64,7 +64,11 @@ def main() -> int:
                 gather_blocked_rows=JS.gather_blocked_rows,
                 pos_scatter_blocked=JS.pos_scatter_blocked,
                 pos_scatter_pair=JS.pos_scatter_pair,
-                pos_gap_blocked=JS.pos_gap_blocked)
+                pos_gap_blocked=JS.pos_gap_blocked,
+                pos_hv_tbl_pallas=JS.pos_hv_tbl_pallas,
+                hv_self_tbl_pallas=JS.hv_self_tbl_pallas,
+                grad_cross_tbl_pallas=JS.grad_cross_tbl_pallas,
+                grad_self_tbl_pallas=JS.grad_self_tbl_pallas)
 
     def patch(variant):
         for name, fn in orig.items():
@@ -109,6 +113,29 @@ def main() -> int:
                 (num, B.shape[1]), B.dtype)
         if variant == "no_tbl_scatter":
             JS.scatter = lambda i, v, Z, d: jnp.zeros((d, Z.shape[1]), Z.dtype)
+        if variant == "no_hv_tbl":
+            # the fused table-space CG pass (cross + self)
+            JS.pos_hv_tbl_pallas = (
+                lambda V, xi, xv, rows, own, w_blk, dm, bm, **kw:
+                jnp.zeros(V.shape, jnp.promote_types(V.dtype, jnp.float32)))
+            JS.hv_self_tbl_pallas = (
+                lambda V, xi, xv, Q1, dd, bm, **kw:
+                jnp.zeros(V.shape, jnp.promote_types(V.dtype, jnp.float32)))
+        if variant == "no_grad_tbl":
+            # the fused table-space gradient (+ diag) passes
+            def _zero_gc(dd_, xi, xv, rows, own, cb, dense, bm,
+                         w_blk=None, **kw):
+                z = jnp.zeros((dd_, rows.shape[2]),
+                              jnp.promote_types(rows.dtype, jnp.float32))
+                return z if w_blk is None else (z, z)
+
+            def _zero_gs(dd_, xi, xv, Q1, zd, own, cb, bm, dd=None, **kw):
+                z = jnp.zeros((dd_, Q1.shape[1]),
+                              jnp.promote_types(Q1.dtype, jnp.float32))
+                return z if dd is None else (z, z)
+
+            JS.grad_cross_tbl_pallas = _zero_gc
+            JS.grad_self_tbl_pallas = _zero_gs
         if variant == "no_project":
             JS.project = lambda i, v, T: jnp.zeros(
                 (i.shape[0], T.shape[1]), T.dtype)

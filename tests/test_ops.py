@@ -502,3 +502,184 @@ def test_seg_sum_and_expand_blocked(rng):
     got2 = expand_rows_blocked(jnp.asarray(vec), own, BM)
     ref2 = (vec[u[blk["src"]]] * msk).reshape(-1)
     np.testing.assert_allclose(np.asarray(got2), ref2, rtol=1e-12, atol=0)
+
+
+def test_hv_self_tbl_pallas_matches_composition(rng):
+    """Fused self-block table kernel == project -> diag -> scatter chain."""
+    from one_class_ffm_tpu.ops.sparse_ops import (
+        hv_self_tbl_pallas, project_xla, scatter_xla,
+    )
+
+    m, p, d, k, BM = 24, 2, 11, 5, 4
+    idx = jnp.asarray(rng.integers(0, d, size=(m, p)), jnp.int32)
+    val = jnp.asarray(rng.random((m, p)))
+    V = jnp.asarray(rng.normal(size=(d, k)))
+    Q1 = jnp.asarray(rng.normal(size=(m, k)))
+    dd = jnp.asarray(rng.random(m))
+
+    phi = project_xla(idx, val, V)
+    s = dd * jnp.sum(Q1 * phi, axis=1)
+    ref = scatter_xla(idx, val, s[:, None] * Q1, d)
+    got = hv_self_tbl_pallas(V, idx.T, val.T, Q1, dd[:, None], BM,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_pos_hv_tbl_pallas_matches_composition(rng):
+    """Fused cross-block table kernel == project -> blocked hv -> scatter."""
+    from one_class_ffm_tpu.ops.sparse_ops import (
+        gather_blocked_rows,
+        make_blocked_layout,
+        pos_hv_blocked,
+        pos_hv_tbl_pallas,
+        project_xla,
+        scatter_xla,
+    )
+
+    num, n_other, p, d, k, nnz, BM = 24, 11, 2, 13, 5, 93, 4
+    scale = 0.81
+    u = np.sort(rng.integers(0, num, size=nnz)).astype(np.int32)
+    v = rng.integers(0, n_other, size=nnz).astype(np.int32)
+    blk = make_blocked_layout(u, v, num, block_rows=BM, max_pad_ratio=50.0)
+    B = jnp.asarray(rng.normal(size=(n_other, k)))
+    w_raw = jnp.asarray(rng.random(nnz))
+    take, src, own = (jnp.asarray(blk[s]) for s in ("take", "src", "own"))
+    w_blk = w_raw[src]
+    rows = gather_blocked_rows(B, take)
+    dmat = jnp.asarray(rng.normal(size=(k, k)))
+    idx = jnp.asarray(rng.integers(0, d, size=(num, p)), jnp.int32)
+    val = jnp.asarray(rng.random((num, p)))
+    V = jnp.asarray(rng.normal(size=(d, k)))
+
+    phi = project_xla(idx, val, V)
+    zp = pos_hv_blocked(phi, B, None, take, src, own, num, BM,
+                        rows=rows, w_blk=w_blk, w_scale=scale,
+                        dense_mat=dmat)
+    ref = scatter_xla(idx, val, zp, d)
+    got = pos_hv_tbl_pallas(V, idx.T, val.T, rows, own, w_blk, dmat, BM,
+                            w_scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_solver_fused_tbl_matches_oracle(rng, monkeypatch):
+    """Full epochs with the fused table kernels forced (interpret mode on
+    CPU) still match the fp64 oracle — every non-identity small-D solve
+    routes through pos_hv_tbl_pallas / hv_self_tbl_pallas."""
+    from conftest import make_problem, oracle_params_to_jax, to_device_problem
+    from one_class_ffm_tpu.solver import oracle
+    from one_class_ffm_tpu.solver.jax_solver import FFMSolver
+
+    monkeypatch.setenv("OCFFM_FUSED_TBL", "interpret")
+    monkeypatch.setenv("OCFFM_BLK_PREGATHER", "1")
+    prob, params = make_problem(rng)
+    meta, data = to_device_problem(prob, multiple=4, blocked_bm=4)
+    assert meta.blocked_bm_u == 4 and meta.blocked_bm_v == 4
+    solver = FFMSolver(meta, data)
+    assert solver.fused_tbl and solver.fused_interpret
+    # at least one solve must actually route through the fused kernels
+    blocks = meta.layout.all_blocks()
+    assert any(solver._fused_tbl_side(b, first, meta.pad_d(
+        b.d1 if first else b.d2)) is not None
+        for b in blocks for first in (True, False))
+    state = solver.refresh_caches({"params": oracle_params_to_jax(params)})
+    ref = params
+    for _ in range(2):
+        ref = oracle.oracle_epoch(prob, ref)
+    for _ in range(2):
+        state = solver.epoch(state)
+    for f12 in ref["W"]:
+        np.testing.assert_allclose(
+            np.asarray(state["params"][f12]["W"]), ref["W"][f12],
+            rtol=1e-6, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(state["params"][f12]["H"]), ref["H"][f12],
+            rtol=1e-6, atol=1e-9,
+        )
+
+
+def test_grad_self_tbl_pallas_matches_composition(rng):
+    """Fused self-block gradient kernel == seg-sum -> dense add -> scatter
+    chain, incl. the fused Jacobi diag ((X^2)^T dd Q1^2)."""
+    from one_class_ffm_tpu.ops.sparse_ops import (
+        grad_self_tbl_pallas, make_blocked_layout, scatter_xla,
+    )
+
+    m, p, d, k, nnz, BM = 24, 2, 11, 5, 93, 4
+    u = np.sort(rng.integers(0, m, size=nnz)).astype(np.int32)
+    v = rng.integers(0, 16, size=nnz).astype(np.int32)
+    blk = make_blocked_layout(u, v, m, block_rows=BM, max_pad_ratio=50.0)
+    idx = jnp.asarray(rng.integers(0, d, size=(m, p)), jnp.int32)
+    val = jnp.asarray(rng.random((m, p)))
+    Q1 = jnp.asarray(rng.normal(size=(m, k)))
+    zdense = jnp.asarray(rng.normal(size=m))
+    dd = jnp.asarray(rng.random(m))
+    c = rng.normal(size=nnz)
+    msk = (blk["own"] < BM).astype(np.float64)
+    c_blk = jnp.asarray(c[blk["src"]] * msk)
+
+    zpos = np.zeros(m)
+    np.add.at(zpos, u, c)
+    z = np.asarray(zdense) + zpos
+    ref_g = scatter_xla(idx, val, jnp.asarray(z)[:, None] * Q1, d)
+    ref_q = scatter_xla(idx, val * val, dd[:, None] * Q1 * Q1, d)
+
+    got_g, got_q = grad_self_tbl_pallas(
+        d, idx.T, val.T, Q1, zdense[:, None], jnp.asarray(blk["own"]), c_blk,
+        BM, dd=dd[:, None], interpret=True)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
+                               rtol=1e-9, atol=1e-11)
+    got_g2 = grad_self_tbl_pallas(
+        d, idx.T, val.T, Q1, zdense[:, None], jnp.asarray(blk["own"]), c_blk,
+        BM, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_g2), np.asarray(ref_g),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_grad_cross_tbl_pallas_matches_composition(rng):
+    """Fused cross-block gradient kernel == blocked scatter -> dense add ->
+    X^T scatter chain, incl. the fused diag positive term."""
+    from one_class_ffm_tpu.ops.sparse_ops import (
+        gather_blocked_rows,
+        make_blocked_layout,
+        grad_cross_tbl_pallas,
+        pos_scatter_blocked,
+        scatter_xla,
+    )
+
+    num, n_other, p, d, k, nnz, BM = 24, 11, 2, 13, 5, 93, 4
+    wq_scale = 0.77
+    u = np.sort(rng.integers(0, num, size=nnz)).astype(np.int32)
+    v = rng.integers(0, n_other, size=nnz).astype(np.int32)
+    blk = make_blocked_layout(u, v, num, block_rows=BM, max_pad_ratio=50.0)
+    B = jnp.asarray(rng.normal(size=(n_other, k)))
+    take, src, own = (jnp.asarray(blk[s]) for s in ("take", "src", "own"))
+    rows = gather_blocked_rows(B, take)
+    idx = jnp.asarray(rng.integers(0, d, size=(num, p)), jnp.int32)
+    val = jnp.asarray(rng.random((num, p)))
+    dense = jnp.asarray(rng.normal(size=(num, k)))
+    c = jnp.asarray(rng.normal(size=nnz))
+    w_raw = jnp.asarray(rng.random(nnz))
+    w_blk = w_raw[src] * jnp.asarray((blk["own"] < BM).astype(np.float64))
+
+    zpos = pos_scatter_blocked(c, B, take, src, own, num, BM)
+    ref_g = scatter_xla(idx, val, dense + zpos, d)
+    posq = pos_scatter_blocked(wq_scale * w_raw, B * B, take, src, own,
+                               num, BM)
+    ref_q = scatter_xla(idx, val * val, posq, d)
+
+    got_g, got_q = grad_cross_tbl_pallas(
+        d, idx.T, val.T, rows, own, c[src], dense, BM, w_blk=w_blk,
+        wq_scale=wq_scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
+                               rtol=1e-9, atol=1e-11)
+    got_g2 = grad_cross_tbl_pallas(
+        d, idx.T, val.T, rows, own, c[src], dense, BM, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_g2), np.asarray(ref_g),
+                               rtol=1e-9, atol=1e-11)
