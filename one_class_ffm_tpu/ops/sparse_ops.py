@@ -836,6 +836,20 @@ def pos_hv_blocked(phi: Array, B: Array, w: Array, take: Array, src: Array,
 # random access remains anywhere in the pass.
 
 
+def _dotp(a, b, acc_t, contract0: bool = False):
+    """Fused-kernel dot with an f32-exact precision floor.  TPU MXU f32
+    matmuls default to a reduced-precision decomposition (~1e-3 relative —
+    measured: the fused projection diverged from the gather-FMA form by
+    4e-3 on hardware while bit-exact in interpret mode); HIGHEST restores
+    f32 exactness for f32 inputs and changes nothing for bf16 inputs."""
+    prec = (jax.lax.Precision.HIGHEST
+            if a.dtype in (jnp.float32, jnp.float64) else None)
+    dims = ((((0,), (0,)), ((), ())) if contract0
+            else (((1,), (0,)), ((), ())))
+    return jax.lax.dot_general(a, b, dims, precision=prec,
+                               preferred_element_type=acc_t)
+
+
 def _xoh_block(idx_t_ref, val_t_ref, d: int, dt, square: bool = False):
     """TRANSPOSED one-hot X row block (d, BM) built in-kernel: sum over the
     p feature slots of val_s * OneHot(idx_s)^T (val_s^2 with ``square`` —
@@ -867,9 +881,7 @@ def _hv_self_tbl_kernel(x_idx_ref, x_val_ref, q1_ref, dd_ref, v_ref, out_ref):
     acc_t = jnp.promote_types(dt, jnp.float32)
     d = v_ref.shape[0]
     xoh_t = _xoh_block(x_idx_ref, x_val_ref, d, dt)             # (d, BM)
-    phib = jax.lax.dot_general(
-        xoh_t, v_ref[...], (((0,), (0,)), ((), ())),
-        preferred_element_type=acc_t).astype(dt)                # (BM, k)
+    phib = _dotp(xoh_t, v_ref[...], acc_t, contract0=True).astype(dt)
     q1 = q1_ref[...]
     s = dd_ref[...] * jnp.sum(q1 * phib, axis=1, keepdims=True)  # (BM, 1)
     zpb = (s * q1).astype(dt)
@@ -878,8 +890,7 @@ def _hv_self_tbl_kernel(x_idx_ref, x_val_ref, q1_ref, dd_ref, v_ref, out_ref):
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    out_ref[...] += jax.lax.dot(xoh_t, zpb,
-                                preferred_element_type=out_ref.dtype)
+    out_ref[...] += _dotp(xoh_t, zpb, out_ref.dtype)
 
 
 def _pad_rows16(T: Array) -> Array:
@@ -939,25 +950,19 @@ def _hv_tbl_kernel(w_scale: float, x_idx_ref, x_val_ref, rows_ref, own_ref,
     BM = xoh_t.shape[1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (BM, MAXC), 0)
     ohm_t = (own_ref[0] == iota).astype(dt)               # (BM, MAXC)
-    phib = jax.lax.dot_general(
-        xoh_t, v_ref[...], (((0,), (0,)), ((), ())),
-        preferred_element_type=acc_t).astype(dt)          # (BM, k)
-    phig = jax.lax.dot_general(
-        ohm_t, phib, (((0,), (0,)), ((), ())),
-        preferred_element_type=acc_t).astype(dt)          # (MAXC, k)
+    phib = _dotp(xoh_t, v_ref[...], acc_t, contract0=True).astype(dt)
+    phig = _dotp(ohm_t, phib, acc_t, contract0=True).astype(dt)  # (MAXC, k)
     pq = jnp.sum(phig * rows, axis=1, keepdims=True)      # (MAXC, 1)
     lhs = ohm_t * (w_ref[0] * jnp.asarray(w_scale, dt))
-    zpb = jax.lax.dot(lhs, pq * rows, preferred_element_type=acc_t)
-    zpb = zpb + jax.lax.dot(phib, dense_ref[...],
-                            preferred_element_type=acc_t)
+    zpb = _dotp(lhs, pq * rows, acc_t)
+    zpb = zpb + _dotp(phib, dense_ref[...], acc_t)
     zpb = zpb.astype(dt)  # one cast, as the unfused path's zp block
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    out_ref[...] += jax.lax.dot(xoh_t, zpb,
-                                preferred_element_type=out_ref.dtype)
+    out_ref[...] += _dotp(xoh_t, zpb, out_ref.dtype)
 
 
 def pos_hv_tbl_pallas(V: Array, x_idx_t: Array, x_val_t: Array, rows: Array,
@@ -1034,8 +1039,7 @@ def _grad_self_tbl_kernel(with_diag: bool, x_idx_ref, x_val_ref, q1_ref,
     def _():
         outg_ref[...] = jnp.zeros_like(outg_ref)
 
-    outg_ref[...] += jax.lax.dot(xoh_t, zb * q1,
-                                 preferred_element_type=outg_ref.dtype)
+    outg_ref[...] += _dotp(xoh_t, zb * q1, outg_ref.dtype)
     if with_diag:
         (oq,) = outq_ref
         xoh2_t = _xoh_block(x_idx_ref, x_val_ref, d, dt, square=True)
@@ -1044,8 +1048,8 @@ def _grad_self_tbl_kernel(with_diag: bool, x_idx_ref, x_val_ref, q1_ref,
         def _():
             oq[...] = jnp.zeros_like(oq)
 
-        oq[...] += jax.lax.dot(xoh2_t, (dd_ref[...] * q1 * q1).astype(dt),
-                               preferred_element_type=oq.dtype)
+        oq[...] += _dotp(xoh2_t, (dd_ref[...] * q1 * q1).astype(dt),
+                         oq.dtype)
 
 
 def grad_self_tbl_pallas(d: int, x_idx_t: Array, x_val_t: Array, Q1: Array,
@@ -1163,8 +1167,7 @@ def _grad_cross_tbl_kernel(with_diag: bool, wq_scale: float, x_idx_ref,
     d = outg_ref.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (BM, MAXC), 0)
     ohm_t = (own_ref[0] == iota).astype(dt)
-    zpos = jax.lax.dot(ohm_t * c_ref[0], rows,
-                       preferred_element_type=acc_t).astype(dt)  # (BM, k)
+    zpos = _dotp(ohm_t * c_ref[0], rows, acc_t).astype(dt)  # (BM, k)
     zb = dense_ref[...] + zpos
     xoh_t = _xoh_block(x_idx_ref, x_val_ref, d, dt)       # (d, BM)
 
@@ -1172,21 +1175,18 @@ def _grad_cross_tbl_kernel(with_diag: bool, wq_scale: float, x_idx_ref,
     def _():
         outg_ref[...] = jnp.zeros_like(outg_ref)
 
-    outg_ref[...] += jax.lax.dot(xoh_t, zb,
-                                 preferred_element_type=outg_ref.dtype)
+    outg_ref[...] += _dotp(xoh_t, zb, outg_ref.dtype)
     if with_diag:
         (oq,) = outq_ref
-        posq = jax.lax.dot(
-            ohm_t * (w_ref[0] * jnp.asarray(wq_scale, dt)), rows * rows,
-            preferred_element_type=acc_t).astype(dt)
+        posq = _dotp(ohm_t * (w_ref[0] * jnp.asarray(wq_scale, dt)),
+                     rows * rows, acc_t).astype(dt)
         xoh2_t = _xoh_block(x_idx_ref, x_val_ref, d, dt, square=True)
 
         @pl.when(pl.program_id(0) == 0)
         def _():
             oq[...] = jnp.zeros_like(oq)
 
-        oq[...] += jax.lax.dot(xoh2_t, posq,
-                               preferred_element_type=oq.dtype)
+        oq[...] += _dotp(xoh2_t, posq, oq.dtype)
 
 
 def _hv_blk_kernel(w_scale: float, rows_ref, own_ref, w_ref, phi_ref,

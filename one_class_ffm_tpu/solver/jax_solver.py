@@ -445,9 +445,22 @@ class FFMSolver:
         # Pallas interpret mode (CPU correctness tests).
         fmode = _os.environ.get("OCFFM_FUSED_TBL", "auto").lower()
         self.fused_interpret = fmode == "interpret"
+        self.fused_forced = fmode in ("1", "on", "true", "interpret")
         self.fused_tbl = fmode not in ("0", "off", "false") and (
-            on_tpu or fmode in ("1", "on", "true", "interpret"))
+            on_tpu or self.fused_forced)
         self.fused_tbl_d = int(_os.environ.get("OCFFM_FUSED_TBL_D", 4096))
+        # auto engages per side at the same scale the pregather does: the
+        # kernels' savings grow with the streamed row count (measured: +16%
+        # at 1M x 500k, -1.4% at the 200k x 20k headline) — below the
+        # threshold the XLA one-hot paths stay
+        self.fused_min_rows = int(_os.environ.get(
+            "OCFFM_FUSED_TBL_MIN_ROWS", min_rows))
+        # per-grid-step VMEM estimate cap: a skew-heavy blocked layout can
+        # put MAXC in the tens of thousands and a (BM, MAXC) one-hot plus
+        # double-buffered (MAXC, k) rows block past the 16MB scoped limit
+        # (measured OOM at headline v-side MAXC=13064)
+        self.fused_vmem = int(_os.environ.get(
+            "OCFFM_FUSED_TBL_VMEM_MB", 10)) << 20
         if fmode in ("1", "on", "true"):
             if meta.blocked_bm_u and "blk_u_take" in data:
                 self.pregather_u = True
@@ -691,7 +704,7 @@ class FFMSolver:
             n_other, side, s_cache = meta.m_true, state["b"], sb
             other_sum = jnp.sum(state["a"])
             pre, num, yt_key, cnt = "blk_v_", meta.n, "yt_v", d["cnt_v"]
-        fused = self._fused_tbl_side(b, first, T.shape[0])
+        fused = self._fused_tbl_side(b, first, T.shape[0], "grad_self")
         if fused is not None:
             # fused table kernel: dense term, positive seg-sum, X^T scatter
             # (and optionally the Jacobi diag's (X^2)^T pass) in ONE
@@ -828,7 +841,8 @@ class FFMSolver:
             """Fused table-space gradient (+ Jacobi diag) when the table
             kernel applies: one streamed pass, no (rows, k) Z intermediate,
             no table scatter passes (ops.grad_cross_tbl_pallas)."""
-            fused = (self._fused_tbl_side(b, first, T.shape[0])
+            fused = (self._fused_tbl_side(b, first, T.shape[0],
+                                          "grad_cross")
                      if rows_pre is not None else None)
             if fused is None:
                 return None
@@ -935,28 +949,53 @@ class FFMSolver:
 
     # -- Hessian-vector products ---------------------------------------------
 
-    def _fused_tbl_side(self, b: BlockInfo, first: bool, dim: int):
+    def _fused_tbl_side(self, b: BlockInfo, first: bool, dim: int,
+                        kind: str = "hv_cross"):
         """(x_idx_t, x_val_t, block_rows) when the fused table-space kernel
         applies to this solve's table side, else None: non-identity field,
-        D within the VMEM cap (the transposed arrays exist only then —
+        D within the cap (the transposed arrays exist only then —
         make_device_data), rows block-aligned (the side's blocked layout
-        exists), single-shard, Mosaic-supported dtype."""
-        if not self.fused_tbl or self.meta.blocked_shards > 1:
+        exists), single-shard, Mosaic-supported dtype, enough streamed rows
+        for the kernel to win (auto mode), and the per-grid-step VMEM
+        estimate under the scoped limit.  ``kind`` names the kernel whose
+        footprint to estimate: hv_self | grad_self | hv_cross | grad_cross.
+        """
+        meta = self.meta
+        if not self.fused_tbl or meta.blocked_shards > 1:
             return None
         ident, rows, _ = self._side_ident(b, first)
         if ident or dim > self.fused_tbl_d:
             return None
-        if not self.fused_interpret and self.meta.dtype not in (
+        if not self.fused_interpret and meta.dtype not in (
                 jnp.float32, jnp.bfloat16):
+            return None
+        if not self.fused_forced and rows < self.fused_min_rows:
             return None
         fg = b.f1 if first else b.f2
         fl = b.fi if first else b.fj
-        u_side = fg < self.meta.layout.fu
-        bm = (self.meta.blocked_bm_u if u_side else self.meta.blocked_bm_v)
+        u_side = fg < meta.layout.fu
+        bm = (meta.blocked_bm_u if u_side else meta.blocked_bm_v)
         if not bm or rows % bm:
             return None
         xts = self.data.get("xt_u" if u_side else "xt_v")
         if not xts or xts[fl] is None:
+            return None
+        # per-grid-step VMEM estimate (bytes): xoh + table/out blocks always;
+        # the (BM, MAXC) one-hot for stream-consuming kernels; the
+        # double-buffered (MAXC, k) rows block + the phig intermediate for
+        # the cross forms; 1MB slack for the small streamed blocks
+        isz = jnp.dtype(meta.dtype).itemsize
+        dk = -(-dim // 16) * 16
+        lanes = -(-meta.hp.k // 128) * 128
+        est = dk * bm * isz + dk * lanes * (isz + 4) + (1 << 20)
+        if kind.startswith("grad"):
+            est += dk * lanes * 4 + dk * bm * isz  # outq + xoh_sq
+        if kind != "hv_self":
+            maxc = self.data["blk_u_own" if u_side else "blk_v_own"].shape[1]
+            est += bm * maxc * isz  # the (BM, MAXC) one-hot
+            if kind.endswith("cross"):
+                est += 3 * maxc * lanes * isz  # rows block x2 + phig
+        if est > self.fused_vmem:
             return None
         return xts[fl][0], xts[fl][1], bm
 
@@ -974,7 +1013,7 @@ class FFMSolver:
             dd = (1.0 - hp.omega) * d["cnt_v"] + hp.omega * meta.m_true
         dim = (state["params"][b.f12]["W" if first else "H"]).shape[0]
 
-        fused = self._fused_tbl_side(b, first, dim)
+        fused = self._fused_tbl_side(b, first, dim, "hv_self")
         if fused is not None:
             xi, xv, bm = fused
             dd2 = dd[:, None].astype(self.meta.dtype)
@@ -1034,7 +1073,7 @@ class FFMSolver:
 
             sharded = meta.blocked_shards > 1
 
-            fused = (self._fused_tbl_side(b, first, dim)
+            fused = (self._fused_tbl_side(b, first, dim, "hv_cross")
                      if rows_pre is not None and w_blk is not None else None)
             if fused is not None:
                 xi, xv, bm = fused

@@ -3,7 +3,9 @@
 # kernels (OCFFM_FUSED_TBL) at the headline and large configs.
 # Within-queue pairs only (cross-queue deltas < ~10% are chip noise).
 cd "$(dirname "$0")/.."
-echo "=== 0. fused-table hardware smoke (f32, forced) ==="
+echo "=== 0a. fused-table per-op hardware gate (f32, forced) ==="
+timeout 1800 python scripts/fused_debug.py || exit 1
+echo "=== 0b. fused-table training smoke (f32, forced) ==="
 timeout 1800 python scripts/fused_smoke.py || exit 1
 echo "=== 1. bench headline, defaults (self-solves fused, cross unfused) ==="
 timeout 1500 python bench.py
