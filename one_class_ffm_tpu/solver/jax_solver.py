@@ -378,6 +378,7 @@ class FFMSolver:
         import os as _os
         mode = _os.environ.get("OCFFM_BLK_PREGATHER", "auto").lower()
         cap = int(_os.environ.get("OCFFM_BLK_PREGATHER_MB", 2048)) << 20
+        self.pregather_cap = cap
         min_rows = int(_os.environ.get(
             "OCFFM_BLK_PREGATHER_MIN_ROWS", 262144))
 
@@ -449,18 +450,25 @@ class FFMSolver:
         self.fused_tbl = fmode not in ("0", "off", "false") and (
             on_tpu or self.fused_forced)
         self.fused_tbl_d = int(_os.environ.get("OCFFM_FUSED_TBL_D", 4096))
-        # auto engages per side at the same scale the pregather does: the
-        # kernels' savings grow with the streamed row count (measured: +16%
-        # at 1M x 500k, -1.4% at the 200k x 20k headline) — below the
-        # threshold the XLA one-hot paths stay
+        # auto engages wherever the shapes allow: measured +26% at the
+        # 200k x 20k headline (459.1k vs 365.2k ex/s, fused + per-solve
+        # pregather) and +16% at 1M x 500k — the kernels flipped the old
+        # "pregather loses at small configs" tradeoff, so there is no
+        # min-rows gate by default (env knob kept for A/Bs)
         self.fused_min_rows = int(_os.environ.get(
-            "OCFFM_FUSED_TBL_MIN_ROWS", min_rows))
+            "OCFFM_FUSED_TBL_MIN_ROWS", 0))
         # per-grid-step VMEM estimate cap: a skew-heavy blocked layout can
         # put MAXC in the tens of thousands and a (BM, MAXC) one-hot plus
         # double-buffered (MAXC, k) rows block past the 16MB scoped limit
         # (measured OOM at headline v-side MAXC=13064)
         self.fused_vmem = int(_os.environ.get(
             "OCFFM_FUSED_TBL_VMEM_MB", 10)) << 20
+        # per-kind A/B knob: comma set of hv_self,grad_self,hv_cross,
+        # grad_cross (default all four)
+        kinds = _os.environ.get(
+            "OCFFM_FUSED_TBL_OPS", "hv_self,grad_self,hv_cross,grad_cross")
+        self.fused_kinds = frozenset(
+            s.strip() for s in kinds.split(",") if s.strip())
         if fmode in ("1", "on", "true"):
             if meta.blocked_bm_u and "blk_u_take" in data:
                 self.pregather_u = True
@@ -963,6 +971,8 @@ class FFMSolver:
         meta = self.meta
         if not self.fused_tbl or meta.blocked_shards > 1:
             return None
+        if kind not in self.fused_kinds:
+            return None
         ident, rows, _ = self._side_ident(b, first)
         if ident or dim > self.fused_tbl_d:
             return None
@@ -1322,6 +1332,22 @@ class FFMSolver:
             # stream it sequentially instead of re-gathering randomly.
             rows_pre = None
             pregather = self.pregather_u if first else self.pregather_v
+            if not pregather:
+                # the fused table kernels consume the pre-gathered stream,
+                # and the pair wins even where pregather alone loses
+                # (headline: 459.1k fused+pregather vs 365.2k without vs
+                # 336.8k pregather-alone era) — force it per solve, but
+                # never past the materialization HBM cap (a 2M x 200k run
+                # OOM'd the chip on a ~3GB forced stream)
+                dim_t = state["params"][b.f12]["W" if first else "H"].shape[0]
+                take_key = "blk_u_take" if first else "blk_v_take"
+                if (self._fused_tbl_side(b, first, dim_t, "hv_cross")
+                        is not None and take_key in self.data):
+                    nb, maxc = self.data[take_key].shape
+                    lanes = -(-self.meta.hp.k // 128) * 128
+                    nbytes = (nb * maxc * lanes
+                              * jnp.dtype(self.meta.dtype).itemsize)
+                    pregather = nbytes <= self.pregather_cap
             if pregather:
                 d = self.data
                 B1 = state["Q"][b.f12] if first else state["P"][b.f12]
