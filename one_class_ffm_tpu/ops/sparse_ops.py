@@ -1189,6 +1189,488 @@ def _grad_cross_tbl_kernel(with_diag: bool, wq_scale: float, x_idx_ref,
         oq[...] += _dotp(xoh2_t, posq, oq.dtype)
 
 
+# ---------------------------------------------------------------------------
+# k-major ("kt") blocked kernels: the stream stored as (k, MAXC)
+# ---------------------------------------------------------------------------
+#
+# Every (rows, k) buffer with k < 128 physically occupies 128 lanes on TPU —
+# the pre-gathered stream pays 4x the bytes at k=32, and every one-hot MXU
+# contraction producing a (.., k) output pays 4x the FLOPs (output tiles are
+# 128 lanes wide regardless).  The k-major layout stores the solve's stream
+# TRANSPOSED, (n_blocks, k, MAXC): k rides the sublane dim (zero padding at
+# k = 8..128) and MAXC rides the lanes (full).  Every contraction is then
+# oriented so the k-sized dim is an OUTPUT SUBLANE dim or a contracting dim:
+#
+#     phib_t (k, BM)   = V^T-projection via dot_general(V, xoh_t, c0)
+#     phig_t (k, MAXC) = phib_t @ ohm_t                      (plain dot)
+#     pq     (1, MAXC) = colsum(phig_t * rows_t)             (VPU)
+#     zp_t   (k, BM)   = dot_general(Y, ohm_t, c1)           (A @ B^T form)
+#     out_t  (k, dk)  += dot_general(zp_t, xoh_t, c1)
+#
+# — no 128-lane-padded outputs anywhere, 4x less MXU work and 4x less HBM
+# streaming at k=32 than the row-major forms above.  c0/c1 = contract dim0 /
+# dim1 of both operands (A^T B and A B^T — both native MXU orientations).
+# Post-fused op ablation at 1M x 500k put the row-major per-CG-iteration
+# passes at 55% of the epoch, all of it 4x-padded — this is that fix.
+
+
+def gather_blocked_rows_t(B: Array, take: Array) -> Array:
+    """k-major pre-gathered stream: (n_blocks, k, MAXC).  Pays one XLA
+    transpose over the gather output per solve; every per-iteration pass
+    then streams 4x fewer bytes (k=32) than the row-major layout."""
+    n_blocks, MAXC = take.shape
+    rows = B[take.reshape(-1)].reshape(n_blocks, MAXC, B.shape[1])
+    return jnp.transpose(rows, (0, 2, 1))
+
+
+def _ohm_t(own_ref, BM: int, MAXC: int, dt):
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BM, MAXC), 0)
+    return (own_ref[0] == iota).astype(dt)  # (BM, MAXC)
+
+
+def _dot_c1(a, b, acc_t):
+    """A @ B^T (contract the minor dim of both operands) at the fused
+    kernels' precision floor."""
+    prec = (jax.lax.Precision.HIGHEST
+            if a.dtype in (jnp.float32, jnp.float64) else None)
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               precision=prec, preferred_element_type=acc_t)
+
+
+def _hv_kt_kernel(w_scale: float, rows_ref, own_ref, w_ref, phi_ref,
+                  dense_ref, out_ref):
+    """k-major plain blocked hv (identity / large-D sides): same math as
+    _hv_blk_kernel, stream and contractions in (k, MAXC) orientation; only
+    the (BM, k) phi/out blocks cross orientation (two small in-kernel
+    transposes)."""
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    dt = rows_ref.dtype
+    acc_t = jnp.promote_types(dt, jnp.float32)
+    rows_t = rows_ref[0]                                   # (k, MAXC)
+    k, MAXC = rows_t.shape
+    phib = phi_ref[...]                                    # (BM, k)
+    BM = phib.shape[0]
+    ohm = _ohm_t(own_ref, BM, MAXC, dt)
+    phib_t = phib.T                                        # (k, BM)
+    phig_t = _dotp(phib_t, ohm, acc_t).astype(dt)          # (k, MAXC)
+    pq = jnp.sum((phig_t * rows_t).astype(acc_t), axis=0,
+                 keepdims=True).astype(dt)                 # (1, MAXC)
+    Y = rows_t * (pq * (w_ref[0] * jnp.asarray(w_scale, dt)))
+    zp_t = _dot_c1(Y, ohm, acc_t)                          # (k, BM)
+    zp_t = zp_t + _dotp(dense_ref[...], phib_t, acc_t, contract0=True)
+    out_ref[...] = zp_t.astype(dt).T
+
+
+def pos_hv_kt_pallas(phi: Array, rows_t: Array, own: Array, w_blk: Array,
+                     dense_mat: Array, num_out: int, block_rows: int,
+                     w_scale: float = 1.0, interpret: bool = False) -> Array:
+    """k-major pos_hv_blocked_pallas: identical math/result, (k, MAXC)
+    stream (gather_blocked_rows_t)."""
+    from jax.experimental import pallas as pl
+
+    n_blocks, k, MAXC = rows_t.shape
+    dt = rows_t.dtype
+    kern = functools.partial(_hv_kt_kernel, w_scale)
+    return pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, k, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0)),
+            pl.BlockSpec((k, k), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_rows, k), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_out, k), dt),
+        interpret=interpret,
+    )(rows_t, own.reshape(n_blocks, 1, MAXC),
+      w_blk.reshape(n_blocks, 1, MAXC), phi, dense_mat)
+
+
+def _hv_tbl_kt_kernel(w_scale: float, x_idx_ref, x_val_ref, rows_ref,
+                      own_ref, w_ref, dense_ref, v_ref, out_ref):
+    """k-major fused cross hv: zero in-kernel transposes — the output
+    accumulates TRANSPOSED, (k, dk), and the caller untransposes the tiny
+    table-space result once."""
+    from jax.experimental import pallas as pl
+
+    dt = rows_ref.dtype
+    acc_t = jnp.promote_types(dt, jnp.float32)
+    rows_t = rows_ref[0]                                   # (k, MAXC)
+    k, MAXC = rows_t.shape
+    d = v_ref.shape[0]
+    xoh_t = _xoh_block(x_idx_ref, x_val_ref, d, dt)        # (d, BM)
+    BM = xoh_t.shape[1]
+    ohm = _ohm_t(own_ref, BM, MAXC, dt)
+    phib_t = _dotp(v_ref[...], xoh_t, acc_t,
+                   contract0=True).astype(dt)              # (k, BM)
+    phig_t = _dotp(phib_t, ohm, acc_t).astype(dt)          # (k, MAXC)
+    pq = jnp.sum((phig_t * rows_t).astype(acc_t), axis=0,
+                 keepdims=True).astype(dt)
+    Y = rows_t * (pq * (w_ref[0] * jnp.asarray(w_scale, dt)))
+    zp_t = _dot_c1(Y, ohm, acc_t)                          # (k, BM)
+    zp_t = zp_t + _dotp(dense_ref[...], phib_t, acc_t, contract0=True)
+    zp_t = zp_t.astype(dt)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += _dot_c1(zp_t, xoh_t, out_ref.dtype)    # (k, d)
+
+
+def pos_hv_tbl_kt_pallas(V: Array, x_idx_t: Array, x_val_t: Array,
+                         rows_t: Array, own: Array, w_blk: Array,
+                         dense_mat: Array, block_rows: int,
+                         w_scale: float = 1.0,
+                         interpret: bool = False) -> Array:
+    """k-major pos_hv_tbl_pallas: identical math, (k, MAXC) stream, returns
+    the (d, k) result (accumulated internally as (k, d), one tiny
+    untranspose outside the kernel)."""
+    from jax.experimental import pallas as pl
+
+    d, k = V.shape
+    Vp = _pad_rows16(V)
+    dk = Vp.shape[0]
+    n_blocks, _, MAXC = rows_t.shape
+    p = x_idx_t.shape[0]
+    kern = functools.partial(_hv_tbl_kt_kernel, w_scale)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((p, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((p, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((1, k, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((k, k), lambda i: (0, 0)),
+            pl.BlockSpec((dk, k), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((k, dk), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (k, dk), jnp.promote_types(V.dtype, jnp.float32)),
+        interpret=interpret,
+    )(x_idx_t, x_val_t, rows_t, own.reshape(n_blocks, 1, MAXC),
+      w_blk.reshape(n_blocks, 1, MAXC), dense_mat, Vp)
+    return out[:, :d].T
+
+
+def _scatter_kt_kernel(with_diag: bool, wq_scale: float, rows_ref, own_ref,
+                       c_ref, w_ref, out_ref, *outq_ref):
+    """k-major blocked gradient scatter (identity / large-D sides):
+    zpos[r] = sum_t c_t rows_t (+ the diag payload wq * rows^2)."""
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    dt = rows_ref.dtype
+    acc_t = jnp.promote_types(dt, jnp.float32)
+    rows_t = rows_ref[0]
+    k, MAXC = rows_t.shape
+    BM = out_ref.shape[0]
+    ohm = _ohm_t(own_ref, BM, MAXC, dt)
+    zp_t = _dot_c1(rows_t * c_ref[0], ohm, acc_t)          # (k, BM)
+    out_ref[...] = zp_t.astype(dt).T
+    if with_diag:
+        (oq,) = outq_ref
+        Yq = rows_t * rows_t * (w_ref[0] * jnp.asarray(wq_scale, dt))
+        oq[...] = _dot_c1(Yq, ohm, acc_t).astype(dt).T
+
+
+def pos_scatter_kt_pallas(c_blk: Array, rows_t: Array, own: Array,
+                          num_out: int, block_rows: int,
+                          w_blk: Array | None = None, wq_scale: float = 1.0,
+                          interpret: bool = False):
+    """k-major pos_scatter_blocked over a pre-gathered (k, MAXC) stream:
+    c in slot order (n_blocks, MAXC); with ``w_blk`` also returns the
+    Jacobi-diag positive term from the same pass."""
+    from jax.experimental import pallas as pl
+
+    n_blocks, k, MAXC = rows_t.shape
+    dt = rows_t.dtype
+    with_diag = w_blk is not None
+    kern = functools.partial(_scatter_kt_kernel, with_diag, wq_scale)
+    out_shape = [jax.ShapeDtypeStruct((num_out, k), dt)]
+    out_specs = [pl.BlockSpec((block_rows, k), lambda i: (i, 0))]
+    if with_diag:
+        out_shape.append(jax.ShapeDtypeStruct((num_out, k), dt))
+        out_specs.append(pl.BlockSpec((block_rows, k), lambda i: (i, 0)))
+    res = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, k, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(rows_t, own.reshape(n_blocks, 1, MAXC),
+      c_blk.reshape(n_blocks, 1, MAXC),
+      (w_blk if with_diag else c_blk).reshape(n_blocks, 1, MAXC))
+    return (res[0], res[1]) if with_diag else res[0]
+
+
+def _grad_cross_tbl_kt_kernel(with_diag: bool, wq_scale: float, x_idx_ref,
+                              x_val_ref, rows_ref, own_ref, c_ref, w_ref,
+                              dense_ref, outg_ref, *outq_ref):
+    """k-major fused cross gradient (+ diag): one small in-kernel transpose
+    (the streamed dense block), table-space outputs accumulate (k, dk)."""
+    from jax.experimental import pallas as pl
+
+    dt = rows_ref.dtype
+    acc_t = jnp.promote_types(dt, jnp.float32)
+    rows_t = rows_ref[0]
+    k, MAXC = rows_t.shape
+    d = outg_ref.shape[1]
+    xoh_t = _xoh_block(x_idx_ref, x_val_ref, d, dt)        # (d, BM)
+    BM = xoh_t.shape[1]
+    ohm = _ohm_t(own_ref, BM, MAXC, dt)
+    zpos_t = _dot_c1(rows_t * c_ref[0], ohm, acc_t).astype(dt)  # (k, BM)
+    zb_t = zpos_t + dense_ref[...].T
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        outg_ref[...] = jnp.zeros_like(outg_ref)
+
+    outg_ref[...] += _dot_c1(zb_t, xoh_t, outg_ref.dtype)
+    if with_diag:
+        (oq,) = outq_ref
+        Yq = rows_t * rows_t * (w_ref[0] * jnp.asarray(wq_scale, dt))
+        posq_t = _dot_c1(Yq, ohm, acc_t).astype(dt)        # (k, BM)
+        xoh2_t = _xoh_block(x_idx_ref, x_val_ref, d, dt, square=True)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            oq[...] = jnp.zeros_like(oq)
+
+        oq[...] += _dot_c1(posq_t, xoh2_t, oq.dtype)
+
+
+def grad_cross_tbl_kt_pallas(d: int, x_idx_t: Array, x_val_t: Array,
+                             rows_t: Array, own: Array, c_blk: Array,
+                             dense: Array, block_rows: int,
+                             w_blk: Array | None = None,
+                             wq_scale: float = 1.0,
+                             interpret: bool = False):
+    """k-major grad_cross_tbl_pallas: identical math over the (k, MAXC)
+    stream; returns (d, k) [, (d, k)]."""
+    from jax.experimental import pallas as pl
+
+    p, m = x_idx_t.shape
+    n_blocks, k, MAXC = rows_t.shape
+    with_diag = w_blk is not None
+    dk = -(-d // 16) * 16
+    acc_t = jnp.promote_types(rows_t.dtype, jnp.float32)
+    kern = functools.partial(_grad_cross_tbl_kt_kernel, with_diag, wq_scale)
+    out_shape = [jax.ShapeDtypeStruct((k, dk), acc_t)]
+    out_specs = [pl.BlockSpec((k, dk), lambda i: (0, 0))]
+    if with_diag:
+        out_shape.append(jax.ShapeDtypeStruct((k, dk), acc_t))
+        out_specs.append(pl.BlockSpec((k, dk), lambda i: (0, 0)))
+    res = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((p, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((p, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((1, k, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(x_idx_t, x_val_t, rows_t, own.reshape(n_blocks, 1, MAXC),
+      c_blk.reshape(n_blocks, 1, MAXC),
+      (w_blk if with_diag else c_blk).reshape(n_blocks, 1, MAXC), dense)
+    if with_diag:
+        return res[0][:, :d].T, res[1][:, :d].T
+    return res[0][:, :d].T
+
+
+def _gap_kt_kernel(rows_ref, own_ref, dT_ref, out_ref):
+    """k-major blocked residual gap: gap (1, MAXC) per block, flat slot
+    order (the OCFFM_BLK_YT consumer)."""
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    dt = rows_ref.dtype
+    acc_t = jnp.promote_types(dt, jnp.float32)
+    rows_t = rows_ref[0]
+    k, MAXC = rows_t.shape
+    dTb = dT_ref[...]                                      # (BM, k)
+    BM = dTb.shape[0]
+    ohm = _ohm_t(own_ref, BM, MAXC, dt)
+    phig_t = _dotp(dTb.T, ohm, acc_t).astype(dt)           # (k, MAXC)
+    gap = jnp.sum((phig_t * rows_t).astype(acc_t), axis=0,
+                  keepdims=True)                           # (1, MAXC)
+    # out arrives as a (1, 1, MAXC) block (Mosaic wants the last two block
+    # dims tile-divisible OR spanning the full array dims — a (1, MAXC)
+    # slice of (n_blocks, MAXC) is neither, cf. the own/w input trick)
+    out_ref[...] = gap.astype(dt)[None]
+
+
+def pos_gap_kt_pallas(dT: Array, rows_t: Array, own: Array,
+                      block_rows: int, interpret: bool = False) -> Array:
+    """k-major pos_gap_blocked: returns the FLAT (n_blocks * MAXC,)
+    slot-order gap (permute with the layout's inv outside if stream order
+    is needed)."""
+    from jax.experimental import pallas as pl
+
+    n_blocks, k, MAXC = rows_t.shape
+    dt = rows_t.dtype
+    out = pl.pallas_call(
+        _gap_kt_kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, k, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 1, MAXC), dt),
+        interpret=interpret,
+    )(rows_t, own.reshape(n_blocks, 1, MAXC), dT)
+    return out.reshape(-1)
+
+
+def _hv_self_tbl_kt_kernel(x_idx_ref, x_val_ref, q1_ref, dd_ref, v_ref,
+                           out_ref):
+    """k-major fused self hv: dd arrives as a (1, rows) lane vector; the
+    output accumulates (k, dk)."""
+    from jax.experimental import pallas as pl
+
+    dt = q1_ref.dtype
+    acc_t = jnp.promote_types(dt, jnp.float32)
+    d = v_ref.shape[0]
+    xoh_t = _xoh_block(x_idx_ref, x_val_ref, d, dt)        # (d, BM)
+    phib_t = _dotp(v_ref[...], xoh_t, acc_t,
+                   contract0=True).astype(dt)              # (k, BM)
+    q1_t = q1_ref[...].T                                   # (k, BM)
+    s = dd_ref[...] * jnp.sum((q1_t * phib_t).astype(acc_t), axis=0,
+                              keepdims=True).astype(dt)    # (1, BM)
+    zpb_t = (s * q1_t).astype(dt)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += _dot_c1(zpb_t, xoh_t, out_ref.dtype)
+
+
+def hv_self_tbl_kt_pallas(V: Array, x_idx_t: Array, x_val_t: Array,
+                          Q1: Array, dd_row: Array, block_rows: int,
+                          interpret: bool = False) -> Array:
+    """k-major hv_self_tbl_pallas: ``dd_row`` is (1, rows); returns (d, k)."""
+    from jax.experimental import pallas as pl
+
+    d, k = V.shape
+    Vp = _pad_rows16(V)
+    dk = Vp.shape[0]
+    p, m = x_idx_t.shape
+    out = pl.pallas_call(
+        _hv_self_tbl_kt_kernel,
+        grid=(m // block_rows,),
+        in_specs=[
+            pl.BlockSpec((p, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((p, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0)),
+            pl.BlockSpec((1, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((dk, k), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((k, dk), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (k, dk), jnp.promote_types(V.dtype, jnp.float32)),
+        interpret=interpret,
+    )(x_idx_t, x_val_t, Q1, dd_row, Vp)
+    return out[:, :d].T
+
+
+def _grad_self_tbl_kt_kernel(with_diag: bool, x_idx_ref, x_val_ref, q1_ref,
+                             zdense_ref, dd_ref, own_ref, c_ref, outg_ref,
+                             *outq_ref):
+    """k-major fused self gradient (+ diag): zdense/dd arrive as (1, rows)
+    lane vectors; per-row positive sums via one tiny (1, MAXC) x (BM, MAXC)
+    contraction; outputs accumulate (k, dk)."""
+    from jax.experimental import pallas as pl
+
+    dt = q1_ref.dtype
+    acc_t = jnp.promote_types(dt, jnp.float32)
+    MAXC = own_ref.shape[-1]
+    d = outg_ref.shape[1]
+    xoh_t = _xoh_block(x_idx_ref, x_val_ref, d, dt)        # (d, BM)
+    BM = xoh_t.shape[1]
+    ohm = _ohm_t(own_ref, BM, MAXC, dt)
+    zpos = _dot_c1(c_ref[0], ohm, acc_t)                   # (1, BM)
+    q1_t = q1_ref[...].T                                   # (k, BM)
+    zb = (zdense_ref[...] + zpos).astype(dt)               # (1, BM)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        outg_ref[...] = jnp.zeros_like(outg_ref)
+
+    outg_ref[...] += _dot_c1(zb * q1_t, xoh_t, outg_ref.dtype)
+    if with_diag:
+        (oq,) = outq_ref
+        xoh2_t = _xoh_block(x_idx_ref, x_val_ref, d, dt, square=True)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            oq[...] = jnp.zeros_like(oq)
+
+        oq[...] += _dot_c1((dd_ref[...] * q1_t * q1_t).astype(dt),
+                           xoh2_t, oq.dtype)
+
+
+def grad_self_tbl_kt_pallas(d: int, x_idx_t: Array, x_val_t: Array,
+                            Q1: Array, zdense_row: Array, own: Array,
+                            c_blk: Array, block_rows: int,
+                            dd_row: Array | None = None,
+                            interpret: bool = False):
+    """k-major grad_self_tbl_pallas: ``zdense_row``/``dd_row`` are
+    (1, rows); returns (d, k) [, (d, k)]."""
+    from jax.experimental import pallas as pl
+
+    p, m = x_idx_t.shape
+    k = Q1.shape[1]
+    n_blocks, MAXC = own.shape
+    with_diag = dd_row is not None
+    dk = -(-d // 16) * 16
+    acc_t = jnp.promote_types(Q1.dtype, jnp.float32)
+    kern = functools.partial(_grad_self_tbl_kt_kernel, with_diag)
+    out_shape = [jax.ShapeDtypeStruct((k, dk), acc_t)]
+    out_specs = [pl.BlockSpec((k, dk), lambda i: (0, 0))]
+    if with_diag:
+        out_shape.append(jax.ShapeDtypeStruct((k, dk), acc_t))
+        out_specs.append(pl.BlockSpec((k, dk), lambda i: (0, 0)))
+    res = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((p, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((p, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0)),
+            pl.BlockSpec((1, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((1, block_rows), lambda i: (0, i)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(x_idx_t, x_val_t, Q1, zdense_row,
+      dd_row if with_diag else jnp.zeros_like(zdense_row),
+      own.reshape(n_blocks, 1, MAXC), c_blk.reshape(n_blocks, 1, MAXC))
+    if with_diag:
+        return res[0][:, :d].T, res[1][:, :d].T
+    return res[0][:, :d].T
+
+
 def _hv_blk_kernel(w_scale: float, rows_ref, own_ref, w_ref, phi_ref,
                    dense_ref, out_ref):
     """One output block of the fused CG positive term (see

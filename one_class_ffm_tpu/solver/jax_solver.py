@@ -295,16 +295,24 @@ def make_device_data(
 from ..ops.sparse_ops import (  # noqa: E402
     expand_rows_blocked,
     gather_blocked_rows,
+    gather_blocked_rows_t,
+    grad_cross_tbl_kt_pallas,
     grad_cross_tbl_pallas,
+    grad_self_tbl_kt_pallas,
     grad_self_tbl_pallas,
+    hv_self_tbl_kt_pallas,
     hv_self_tbl_pallas,
     pos_dot,
     pos_gap_blocked,
+    pos_gap_kt_pallas,
     pos_hv,
     pos_hv_blocked,
     pos_hv_blocked_pallas,
+    pos_hv_kt_pallas,
+    pos_hv_tbl_kt_pallas,
     pos_hv_tbl_pallas,
     pos_scatter,
+    pos_scatter_kt_pallas,
     seg_sum_blocked,
     pos_scatter_blocked,
     pos_scatter_pair,
@@ -378,25 +386,91 @@ class FFMSolver:
         import os as _os
         mode = _os.environ.get("OCFFM_BLK_PREGATHER", "auto").lower()
         cap = int(_os.environ.get("OCFFM_BLK_PREGATHER_MB", 2048)) << 20
+        # total-HBM awareness: the materialized stream must leave room for
+        # the epoch working set (~4x the state bytes: P/Q caches, donation
+        # double buffers, CG vectors).  A 2M x 200k run fit WITHOUT
+        # pregather (round 2, 68-75k ex/s) and OOM'd with it forced even
+        # under the per-stream byte cap.
+        try:
+            ms = jax.devices()[0].memory_stats() or {}
+            free = ms.get("bytes_limit", 0) - ms.get("bytes_in_use", 0)
+        except Exception:
+            free = 0
+        if free > 0:
+            k_pad = -(-meta.hp.k // 128) * 128
+            isz_ = jnp.dtype(meta.dtype).itemsize
+            state_b = 0
+            for bi in self.blocks:
+                rows1 = meta.m if bi.f1 < meta.layout.fu else meta.n
+                rows2 = meta.m if bi.f2 < meta.layout.fu else meta.n
+                state_b += (meta.pad_d(bi.d1) + meta.pad_d(bi.d2)
+                            + rows1 + rows2) * k_pad * isz_
+            state_b += 2 * meta.nnz * isz_
+            cap = min(cap, max(0, free - 4 * state_b) // 2)
         self.pregather_cap = cap
+        # default 0 since the fused-table kernels landed: pregather + fused
+        # + the slot-order carry it unlocks measured 459.1k vs 365.2k ex/s
+        # at the headline (the round-2 -4% for pregather alone is obsolete);
+        # the HBM cap still bounds it (2M x 200k would OOM on a ~3GB stream)
         min_rows = int(_os.environ.get(
-            "OCFFM_BLK_PREGATHER_MIN_ROWS", 262144))
+            "OCFFM_BLK_PREGATHER_MIN_ROWS", 0))
+        try:
+            on_tpu = jax.default_backend() not in ("cpu",)
+        except Exception:
+            on_tpu = False
+        # k-major blocked kernels (OCFFM_KT, default "auto"): the solve's
+        # pre-gathered stream is stored TRANSPOSED, (n_blocks, k, MAXC), and
+        # the stream passes run k-major Pallas kernels — 4x less HBM
+        # streaming AND 4x less MXU work at k=32 than the row-major forms
+        # (k < 128 pads every (rows, k) buffer and every matmul output to
+        # 128 lanes).  Decided PER SIDE at init: the side's blocked layout
+        # must exist and the kernels' per-block VMEM (one-hot + k-major
+        # rows x2 + phig) must fit.
+        kmode = _os.environ.get("OCFFM_KT", "auto").lower()
+        self.kt_interpret = kmode == "interpret"
+        self.kt = kmode not in ("0", "off", "false") and (
+            on_tpu or kmode in ("1", "on", "true", "interpret"))
+        kt_vmem = int(_os.environ.get("OCFFM_FUSED_TBL_VMEM_MB", 10)) << 20
 
-        def pregather_ok(side_bm: int, take_key: str, b_rows: int) -> bool:
+        def kt_side_ok(side_bm: int, own_key: str) -> bool:
+            if (not self.kt or meta.blocked_shards > 1 or not side_bm
+                    or own_key not in data or mesh is not None):
+                return False
+            if not self.kt_interpret and meta.dtype not in (
+                    jnp.float32, jnp.bfloat16):
+                return False
+            isz = jnp.dtype(meta.dtype).itemsize
+            maxc = data[own_key].shape[1]
+            est = (side_bm * maxc * isz
+                   + 3 * maxc * max(8, meta.hp.k) * isz + (1 << 20))
+            return est <= kt_vmem
+
+        self.kt_u = kt_side_ok(meta.blocked_bm_u, "blk_u_own")
+        self.kt_v = kt_side_ok(meta.blocked_bm_v, "blk_v_own")
+
+        def pregather_ok(side_bm: int, take_key: str, b_rows: int,
+                         kt_side: bool) -> bool:
             if not side_bm or take_key not in data or mode in (
                     "0", "off", "false"):
+                return False
+            if mesh is not None and meta.blocked_shards == 1:
+                # mesh runs keep the plain GSPMD-shardable ops (the
+                # shard-aligned blocked path forces its own pregather)
                 return False
             if mode in ("1", "on", "true"):
                 return True
             nb, maxc = data[take_key].shape
-            lanes = -(-meta.hp.k // 128) * 128
+            # the k-major stream carries no lane padding — 4x more configs
+            # fit the HBM cap when that side runs the kt kernels
+            lanes = (max(8, meta.hp.k) if kt_side
+                     else -(-meta.hp.k // 128) * 128)
             nbytes = nb * maxc * lanes * jnp.dtype(meta.dtype).itemsize
             return b_rows >= min_rows and nbytes <= cap
 
         self.pregather_u = pregather_ok(
-            meta.blocked_bm_u, "blk_u_take", meta.n)
+            meta.blocked_bm_u, "blk_u_take", meta.n, self.kt_u)
         self.pregather_v = pregather_ok(
-            meta.blocked_bm_v, "blk_v_take", meta.m)
+            meta.blocked_bm_v, "blk_v_take", meta.m, self.kt_v)
         # Mosaic kernel for the per-CG-iteration blocked positive pass
         # (ops.pos_hv_blocked_pallas): needs the pre-gathered stream and the
         # pre-permuted weights.  Measured (docs/PERF.md): ~neutral vs the
@@ -724,14 +798,23 @@ class FFMSolver:
                 c = self._pos_coeff(state["yt"]) * d["pos_w"]
                 c_blk = c[d[pre + "src"]]
             zdense = (hp.omega * (n_other * (side - hp.r) + other_sum
-                                  + s_cache))[:, None].astype(meta.dtype)
+                                  + s_cache)).astype(meta.dtype)
             dd2 = None
             if want_diag and self.cg_precond == "jacobi":
                 dd2 = ((1.0 - hp.omega) * cnt
-                       + hp.omega * n_other)[:, None].astype(meta.dtype)
-            res = grad_self_tbl_pallas(
-                T.shape[0], xi, xv, Q1, zdense, d[pre + "own"], c_blk, bm,
-                dd=dd2, interpret=self.fused_interpret)
+                       + hp.omega * n_other).astype(meta.dtype)
+            if self.kt:
+                res = grad_self_tbl_kt_pallas(
+                    T.shape[0], xi, xv, Q1, zdense[None, :],
+                    d[pre + "own"], c_blk, bm,
+                    dd_row=None if dd2 is None else dd2[None, :],
+                    interpret=self.kt_interpret)
+            else:
+                res = grad_self_tbl_pallas(
+                    T.shape[0], xi, xv, Q1, zdense[:, None],
+                    d[pre + "own"], c_blk, bm,
+                    dd=None if dd2 is None else dd2[:, None],
+                    interpret=self.fused_interpret)
             if dd2 is not None:
                 Gt, Dq = res
                 G = hp.lam * reg[:, None] * T + Gt.astype(meta.dtype)
@@ -818,7 +901,8 @@ class FFMSolver:
         return fn(phi, d["blk_u_own"], rows_pre, d["blk_u_w"], dmat)
 
     def _grad_cross(self, state, b: BlockInfo, first: bool,
-                    with_diag_pos: bool = False, rows_pre=None):
+                    with_diag_pos: bool = False, rows_pre=None,
+                    kt: bool = False):
         """Gradient for one table of a cross block (gd_cross, ffm.cpp:630-703).
 
         omega part via k x k Grams: T = sum_c P_c (Q_c^T Q1), oQ = Q1^T 1,
@@ -848,20 +932,21 @@ class FFMSolver:
         def fused_grad(pre, dense):
             """Fused table-space gradient (+ Jacobi diag) when the table
             kernel applies: one streamed pass, no (rows, k) Z intermediate,
-            no table scatter passes (ops.grad_cross_tbl_pallas)."""
+            no table scatter passes (ops.grad_cross_tbl[_kt]_pallas)."""
             fused = (self._fused_tbl_side(b, first, T.shape[0],
-                                          "grad_cross")
+                                          "grad_cross", kt)
                      if rows_pre is not None else None)
             if fused is None:
                 return None
             xi, xv, bm = fused
             cb = c_blk if c_blk is not None else c[d[pre + "src"]]
+            kern = grad_cross_tbl_kt_pallas if kt else grad_cross_tbl_pallas
+            interp = self.kt_interpret if kt else self.fused_interpret
             if with_diag_pos:
-                Gt, Qt = grad_cross_tbl_pallas(
+                Gt, Qt = kern(
                     T.shape[0], xi, xv, rows_pre, d[pre + "own"], cb,
                     dense, bm, w_blk=d[pre + "w"],
-                    wq_scale=(1.0 - hp.omega),
-                    interpret=self.fused_interpret)
+                    wq_scale=(1.0 - hp.omega), interpret=interp)
                 B1 = state["Q"][f12] if first else state["P"][f12]
                 qtq_d = jnp.sum(B1 * B1, axis=0)  # pad rows are zero
                 colsq = self._side_colsq(b, first)
@@ -869,10 +954,21 @@ class FFMSolver:
                         + Qt.astype(meta.dtype))
                 G = hp.lam * reg[:, None] * T + Gt.astype(meta.dtype)
                 return G, ("tbl", tblD)
-            Gt = grad_cross_tbl_pallas(
+            Gt = kern(
                 T.shape[0], xi, xv, rows_pre, d[pre + "own"], cb, dense,
-                bm, interpret=self.fused_interpret)
+                bm, interpret=interp)
             return hp.lam * reg[:, None] * T + Gt.astype(meta.dtype)
+
+        def kt_scatter(pre, num, bm):
+            """k-major gradient scatter for solves whose table side is NOT
+            fused (identity / large-D): zpos (+ diag posq) from the
+            (k, MAXC) stream (ops.pos_scatter_kt_pallas)."""
+            cb = c_blk if c_blk is not None else c[d[pre + "src"]]
+            wq = ((1.0 - hp.omega) * d[pre + "w"]) if with_diag_pos else None
+            res = pos_scatter_kt_pallas(
+                cb, rows_pre, d[pre + "own"], num, bm, w_blk=wq,
+                interpret=self.kt_interpret)
+            return res if with_diag_pos else (res, None)
 
         if first:
             Q1 = state["Q"][f12]  # (n, k)
@@ -903,12 +999,16 @@ class FFMSolver:
                 if meta.blocked_shards > 1:
                     res = self._scatter_blocked_sharded(
                         c, rows_pre, wq_blk=wq_blk)
+                    zpos, posq = res if with_diag_pos else (res, None)
+                elif kt and rows_pre is not None:
+                    zpos, posq = kt_scatter("blk_u_", meta.m,
+                                            meta.blocked_bm_u)
                 else:
                     res = pos_scatter_blocked(
                         c, Q1, d["blk_u_take"], d["blk_u_src"],
                         d["blk_u_own"], meta.m, meta.blocked_bm_u,
                         diag_w_blk=wq_blk, rows=rows_pre, coeff_blk=c_blk)
-                zpos, posq = res if with_diag_pos else (res, None)
+                    zpos, posq = res if with_diag_pos else (res, None)
             elif with_diag_pos:
                 assert c is not None, "slot carry requires the blocked path"
                 wq = (1.0 - hp.omega) * d["pos_w"]
@@ -934,13 +1034,17 @@ class FFMSolver:
                 return fg
             if meta.blocked_bm_v and (rows_pre is not None
                                       or not with_diag_pos):
-                res = pos_scatter_blocked(
-                    c, P1, d["blk_v_take"], d["blk_v_src"], d["blk_v_own"],
-                    meta.n, meta.blocked_bm_v,
-                    diag_w_blk=((1.0 - hp.omega) * d["blk_v_w"]
-                                if with_diag_pos else None), rows=rows_pre,
-                    coeff_blk=c_blk)
-                zpos, posq = res if with_diag_pos else (res, None)
+                if kt and rows_pre is not None:
+                    zpos, posq = kt_scatter("blk_v_", meta.n,
+                                            meta.blocked_bm_v)
+                else:
+                    res = pos_scatter_blocked(
+                        c, P1, d["blk_v_take"], d["blk_v_src"],
+                        d["blk_v_own"], meta.n, meta.blocked_bm_v,
+                        diag_w_blk=((1.0 - hp.omega) * d["blk_v_w"]
+                                    if with_diag_pos else None),
+                        rows=rows_pre, coeff_blk=c_blk)
+                    zpos, posq = res if with_diag_pos else (res, None)
             elif with_diag_pos:
                 assert c is not None, "slot carry requires the blocked path"
                 wq = (1.0 - hp.omega) * d["pos_w"]
@@ -957,8 +1061,13 @@ class FFMSolver:
 
     # -- Hessian-vector products ---------------------------------------------
 
+    def _kt_solve_ok(self, b: BlockInfo, first: bool) -> bool:
+        """True when this solve's stream passes run the k-major kernels
+        (decided per side at init — kt_u/kt_v)."""
+        return self.kt_u if first else self.kt_v
+
     def _fused_tbl_side(self, b: BlockInfo, first: bool, dim: int,
-                        kind: str = "hv_cross"):
+                        kind: str = "hv_cross", kt: bool = False):
         """(x_idx_t, x_val_t, block_rows) when the fused table-space kernel
         applies to this solve's table side, else None: non-identity field,
         D within the cap (the transposed arrays exist only then —
@@ -969,7 +1078,8 @@ class FFMSolver:
         footprint to estimate: hv_self | grad_self | hv_cross | grad_cross.
         """
         meta = self.meta
-        if not self.fused_tbl or meta.blocked_shards > 1:
+        if (not self.fused_tbl or meta.blocked_shards > 1
+                or self.mesh is not None):
             return None
         if kind not in self.fused_kinds:
             return None
@@ -1004,7 +1114,10 @@ class FFMSolver:
             maxc = self.data["blk_u_own" if u_side else "blk_v_own"].shape[1]
             est += bm * maxc * isz  # the (BM, MAXC) one-hot
             if kind.endswith("cross"):
-                est += 3 * maxc * lanes * isz  # rows block x2 + phig
+                # rows block x2 + phig; the k-major stream carries no lane
+                # padding (k sublanes x MAXC lanes)
+                est += 3 * maxc * (max(8, meta.hp.k) if kt
+                                   else lanes) * isz
         if est > self.fused_vmem:
             return None
         return xts[fl][0], xts[fl][1], bm
@@ -1026,6 +1139,15 @@ class FFMSolver:
         fused = self._fused_tbl_side(b, first, dim, "hv_self")
         if fused is not None:
             xi, xv, bm = fused
+            if self.kt:
+                dd_row = dd[None, :].astype(self.meta.dtype)
+
+                def hv_fused_kt(V: Array) -> Array:
+                    G = hv_self_tbl_kt_pallas(V, xi, xv, Q1, dd_row, bm,
+                                              interpret=self.kt_interpret)
+                    return hp.lam * reg[:, None] * V + G.astype(V.dtype)
+
+                return hv_fused_kt
             dd2 = dd[:, None].astype(self.meta.dtype)
 
             def hv_fused(V: Array) -> Array:
@@ -1044,7 +1166,8 @@ class FFMSolver:
 
         return hv
 
-    def _hv_cross(self, state, b: BlockInfo, first: bool, rows_pre=None):
+    def _hv_cross(self, state, b: BlockInfo, first: bool, rows_pre=None,
+                  kt: bool = False):
         """Hv closure for a cross-block table (hs_cross, ffm.cpp:706-742):
         omega part via precomputed Q1^T Q1 (ffm.cpp:767-771); (1-w) part per
         positive."""
@@ -1083,18 +1206,34 @@ class FFMSolver:
 
             sharded = meta.blocked_shards > 1
 
-            fused = (self._fused_tbl_side(b, first, dim, "hv_cross")
+            fused = (self._fused_tbl_side(b, first, dim, "hv_cross", kt)
                      if rows_pre is not None and w_blk is not None else None)
             if fused is not None:
                 xi, xv, bm = fused
+                kern = pos_hv_tbl_kt_pallas if kt else pos_hv_tbl_pallas
+                interp = self.kt_interpret if kt else self.fused_interpret
 
                 def hv_tbl(V: Array) -> Array:
-                    G = pos_hv_tbl_pallas(
+                    G = kern(
                         V, xi, xv, rows_pre, d[pre + "own"], w_blk, dmat,
-                        bm, w_scale=w_scale, interpret=self.fused_interpret)
+                        bm, w_scale=w_scale, interpret=interp)
                     return hp.lam * reg[:, None] * V + G.astype(V.dtype)
 
                 return hv_tbl
+
+            if kt and rows_pre is not None and w_blk is not None:
+                # k-major plain pass (identity / large-D table sides)
+
+                def hv_kt(V: Array) -> Array:
+                    phi = self._proj(b, first, V)
+                    zp = pos_hv_kt_pallas(
+                        phi, rows_pre, d[pre + "own"], w_blk, dmat, num,
+                        blk_bm, w_scale=w_scale,
+                        interpret=self.kt_interpret)
+                    return hp.lam * reg[:, None] * V + self._scat(
+                        b, first, zp, dim)
+
+                return hv_kt
 
             def hv_blocked(V: Array) -> Array:
                 phi = self._proj(b, first, V)  # (rows, k)
@@ -1238,7 +1377,7 @@ class FFMSolver:
     # -- block updates (incremental cache refresh) ----------------------------
 
     def _apply_step(self, state, b: BlockInfo, first: bool, S: Array,
-                    rows_pre=None):
+                    rows_pre=None, kt: bool = False):
         """Apply the Newton step and refresh P/Q, a/b, yt functionally
         (update_side ffm.cpp:405-437, update_cross ffm.cpp:439-465).
 
@@ -1296,8 +1435,13 @@ class FFMSolver:
                 # the static cross-order map — the only scalar gather left
                 pre = "blk_u_" if first else "blk_v_"
                 bm = meta.blocked_bm_u if first else meta.blocked_bm_v
-                gap_flat = pos_gap_blocked(dP, rows_pre, d[pre + "own"],
-                                           None, bm)
+                if kt:
+                    gap_flat = pos_gap_kt_pallas(
+                        dP, rows_pre, d[pre + "own"], bm,
+                        interpret=self.kt_interpret)
+                else:
+                    gap_flat = pos_gap_blocked(dP, rows_pre, d[pre + "own"],
+                                               None, bm)
                 if first:
                     state["yt_u"] = state["yt_u"] + gap_flat.reshape(
                         state["yt_u"].shape) * d["blk_u_w"]
@@ -1312,8 +1456,13 @@ class FFMSolver:
             if rows_pre is not None and self.blk_gap:
                 pre = "blk_u_" if first else "blk_v_"
                 bm = meta.blocked_bm_u if first else meta.blocked_bm_v
-                gap = pos_gap_blocked(dP, rows_pre, d[pre + "own"],
-                                      d[pre + "inv"], bm)
+                if kt:
+                    gap = pos_gap_kt_pallas(
+                        dP, rows_pre, d[pre + "own"], bm,
+                        interpret=self.kt_interpret)[d[pre + "inv"]]
+                else:
+                    gap = pos_gap_blocked(dP, rows_pre, d[pre + "own"],
+                                          d[pre + "inv"], bm)
             else:
                 own_ids = d["pos_u"] if first else d["pos_v"]
                 oth_ids = d["pos_v"] if first else d["pos_u"]
@@ -1326,11 +1475,13 @@ class FFMSolver:
     def _solve_half(self, state, b: BlockInfo, first: bool, sa, sb):
         jac = self.cg_precond == "jacobi"
         posq = None
+        kt = False
         if b.kind == "uv":
             # B (= Q1) is constant for the whole solve: pre-gather its
             # blocked stream once; the gradient and every CG iteration then
             # stream it sequentially instead of re-gathering randomly.
             rows_pre = None
+            kt = self._kt_solve_ok(b, first)
             pregather = self.pregather_u if first else self.pregather_v
             if not pregather:
                 # the fused table kernels consume the pre-gathered stream,
@@ -1338,13 +1489,15 @@ class FFMSolver:
                 # (headline: 459.1k fused+pregather vs 365.2k without vs
                 # 336.8k pregather-alone era) — force it per solve, but
                 # never past the materialization HBM cap (a 2M x 200k run
-                # OOM'd the chip on a ~3GB forced stream)
+                # OOM'd the chip on a ~3GB forced stream; the k-major
+                # stream is 4x smaller at k=32)
                 dim_t = state["params"][b.f12]["W" if first else "H"].shape[0]
                 take_key = "blk_u_take" if first else "blk_v_take"
-                if (self._fused_tbl_side(b, first, dim_t, "hv_cross")
+                if (self._fused_tbl_side(b, first, dim_t, "hv_cross", kt)
                         is not None and take_key in self.data):
                     nb, maxc = self.data[take_key].shape
-                    lanes = -(-self.meta.hp.k // 128) * 128
+                    lanes = (max(8, self.meta.hp.k) if kt
+                             else -(-self.meta.hp.k // 128) * 128)
                     nbytes = (nb * maxc * lanes
                               * jnp.dtype(self.meta.dtype).itemsize)
                     pregather = nbytes <= self.pregather_cap
@@ -1352,7 +1505,8 @@ class FFMSolver:
                 d = self.data
                 B1 = state["Q"][b.f12] if first else state["P"][b.f12]
                 take = d["blk_u_take"] if first else d["blk_v_take"]
-                rows_pre = gather_blocked_rows(B1, take)
+                rows_pre = (gather_blocked_rows_t(B1, take) if kt
+                            else gather_blocked_rows(B1, take))
                 if first and self.meta.blocked_shards > 1:
                     # the only collective of a sharded blocked solve: B is
                     # row-sharded, so this gather all-gathers it once per
@@ -1368,10 +1522,11 @@ class FFMSolver:
             if jac:
                 G, posq = self._grad_cross(state, b, first,
                                            with_diag_pos=True,
-                                           rows_pre=rows_pre)
+                                           rows_pre=rows_pre, kt=kt)
             else:
-                G = self._grad_cross(state, b, first, rows_pre=rows_pre)
-            hv = self._hv_cross(state, b, first, rows_pre=rows_pre)
+                G = self._grad_cross(state, b, first, rows_pre=rows_pre,
+                                     kt=kt)
+            hv = self._hv_cross(state, b, first, rows_pre=rows_pre, kt=kt)
         else:
             rows_pre = None
             if jac:
@@ -1383,7 +1538,8 @@ class FFMSolver:
                 G = self._grad_self(state, b, first, sa, sb)
             hv = self._hv_self(state, b, first)
         S, it = self._cg(hv, G, self._diag_H(state, b, first, posq))
-        return self._apply_step(state, b, first, S, rows_pre=rows_pre), it
+        return self._apply_step(state, b, first, S, rows_pre=rows_pre,
+                                kt=kt), it
 
     # -- epoch ----------------------------------------------------------------
 

@@ -683,3 +683,168 @@ def test_grad_cross_tbl_pallas_matches_composition(rng):
         d, idx.T, val.T, rows, own, c[src], dense, BM, interpret=True)
     np.testing.assert_allclose(np.asarray(got_g2), np.asarray(ref_g),
                                rtol=1e-9, atol=1e-11)
+
+
+def _kt_fixture(rng, num=24, n_other=11, p=2, d=13, k=5, nnz=93, BM=4):
+    from one_class_ffm_tpu.ops.sparse_ops import (
+        gather_blocked_rows, gather_blocked_rows_t, make_blocked_layout,
+    )
+
+    u = np.sort(rng.integers(0, num, size=nnz)).astype(np.int32)
+    v = rng.integers(0, n_other, size=nnz).astype(np.int32)
+    blk = make_blocked_layout(u, v, num, block_rows=BM, max_pad_ratio=50.0)
+    B = jnp.asarray(rng.normal(size=(n_other, k)))
+    take, src, own = (jnp.asarray(blk[s]) for s in ("take", "src", "own"))
+    rows = gather_blocked_rows(B, take)
+    rows_t = gather_blocked_rows_t(B, take)
+    np.testing.assert_array_equal(
+        np.asarray(rows_t), np.asarray(rows).transpose(0, 2, 1))
+    idx = jnp.asarray(rng.integers(0, d, size=(num, p)), jnp.int32)
+    val = jnp.asarray(rng.random((num, p)))
+    return dict(num=num, d=d, k=k, BM=BM, B=B, take=take, src=src, own=own,
+                rows=rows, rows_t=rows_t, idx=idx, val=val, blk=blk)
+
+
+def test_kt_hv_and_scatter_match_row_major(rng):
+    """k-major plain hv / scatter / gap kernels (interpret) == their
+    row-major blocked counterparts to fp reassociation tolerance."""
+    from one_class_ffm_tpu.ops.sparse_ops import (
+        pos_gap_blocked,
+        pos_gap_kt_pallas,
+        pos_hv_blocked,
+        pos_hv_kt_pallas,
+        pos_scatter_blocked,
+        pos_scatter_kt_pallas,
+    )
+
+    fx = _kt_fixture(rng)
+    num, k, BM = fx["num"], fx["k"], fx["BM"]
+    phi = jnp.asarray(rng.normal(size=(num, k)))
+    w_blk = jnp.asarray(rng.random(fx["own"].shape))
+    dmat = jnp.asarray(rng.normal(size=(k, k)))
+    scale = 0.61
+
+    ref = pos_hv_blocked(phi, None, None, None, None, fx["own"], num, BM,
+                         rows=fx["rows"], w_blk=w_blk, w_scale=scale,
+                         dense_mat=dmat)
+    got = pos_hv_kt_pallas(phi, fx["rows_t"], fx["own"], w_blk, dmat, num,
+                           BM, w_scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-9, atol=1e-11)
+
+    c_blk = jnp.asarray(rng.normal(size=fx["own"].shape))
+    wq_blk = jnp.asarray(rng.random(fx["own"].shape))
+    ref_s, ref_q = pos_scatter_blocked(
+        None, None, fx["take"], None, fx["own"], num, BM,
+        diag_w_blk=wq_blk, rows=fx["rows"], coeff_blk=c_blk)
+    got_s, got_q = pos_scatter_kt_pallas(
+        c_blk, fx["rows_t"], fx["own"], num, BM, w_blk=wq_blk,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
+                               rtol=1e-9, atol=1e-11)
+
+    dT = jnp.asarray(rng.normal(size=(num, k)))
+    ref_g = pos_gap_blocked(dT, fx["rows"], fx["own"], None, BM)
+    got_g = pos_gap_kt_pallas(dT, fx["rows_t"], fx["own"], BM,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_kt_tbl_kernels_match_row_major(rng):
+    """k-major fused table kernels (interpret) == the row-major fused
+    kernels (cross hv, cross grad + diag, self hv, self grad + diag)."""
+    from one_class_ffm_tpu.ops.sparse_ops import (
+        grad_cross_tbl_kt_pallas,
+        grad_cross_tbl_pallas,
+        grad_self_tbl_kt_pallas,
+        grad_self_tbl_pallas,
+        hv_self_tbl_kt_pallas,
+        hv_self_tbl_pallas,
+        pos_hv_tbl_kt_pallas,
+        pos_hv_tbl_pallas,
+    )
+
+    fx = _kt_fixture(rng)
+    num, d, k, BM = fx["num"], fx["d"], fx["k"], fx["BM"]
+    idx_t, val_t = fx["idx"].T, fx["val"].T
+    V = jnp.asarray(rng.normal(size=(d, k)))
+    w_blk = jnp.asarray(rng.random(fx["own"].shape))
+    dmat = jnp.asarray(rng.normal(size=(k, k)))
+    scale = 0.77
+
+    ref = pos_hv_tbl_pallas(V, idx_t, val_t, fx["rows"], fx["own"], w_blk,
+                            dmat, BM, w_scale=scale, interpret=True)
+    got = pos_hv_tbl_kt_pallas(V, idx_t, val_t, fx["rows_t"], fx["own"],
+                               w_blk, dmat, BM, w_scale=scale,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-9, atol=1e-11)
+
+    c_blk = jnp.asarray(rng.normal(size=fx["own"].shape))
+    dense = jnp.asarray(rng.normal(size=(num, k)))
+    ref_g, ref_q = grad_cross_tbl_pallas(
+        d, idx_t, val_t, fx["rows"], fx["own"], c_blk, dense, BM,
+        w_blk=w_blk, wq_scale=0.9, interpret=True)
+    got_g, got_q = grad_cross_tbl_kt_pallas(
+        d, idx_t, val_t, fx["rows_t"], fx["own"], c_blk, dense, BM,
+        w_blk=w_blk, wq_scale=0.9, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
+                               rtol=1e-9, atol=1e-11)
+
+    Q1 = jnp.asarray(rng.normal(size=(num, k)))
+    dd = jnp.asarray(rng.random(num))
+    ref_h = hv_self_tbl_pallas(V, idx_t, val_t, Q1, dd[:, None], BM,
+                               interpret=True)
+    got_h = hv_self_tbl_kt_pallas(V, idx_t, val_t, Q1, dd[None, :], BM,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref_h),
+                               rtol=1e-9, atol=1e-11)
+
+    zdense = jnp.asarray(rng.normal(size=num))
+    ref_sg, ref_sq = grad_self_tbl_pallas(
+        d, idx_t, val_t, Q1, zdense[:, None], fx["own"], c_blk, BM,
+        dd=dd[:, None], interpret=True)
+    got_sg, got_sq = grad_self_tbl_kt_pallas(
+        d, idx_t, val_t, Q1, zdense[None, :], fx["own"], c_blk, BM,
+        dd_row=dd[None, :], interpret=True)
+    np.testing.assert_allclose(np.asarray(got_sg), np.asarray(ref_sg),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got_sq), np.asarray(ref_sq),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_solver_kt_matches_oracle(rng, monkeypatch):
+    """Full epochs with the k-major kernels forced (interpret mode on CPU)
+    still match the fp64 oracle — the whole kt stack: fused kt table
+    kernels, kt scatter for identity sides, kt gap, kt pregather."""
+    from conftest import make_problem, oracle_params_to_jax, to_device_problem
+    from one_class_ffm_tpu.solver import oracle
+    from one_class_ffm_tpu.solver.jax_solver import FFMSolver
+
+    monkeypatch.setenv("OCFFM_FUSED_TBL", "interpret")
+    monkeypatch.setenv("OCFFM_KT", "interpret")
+    monkeypatch.setenv("OCFFM_BLK_PREGATHER", "1")
+    prob, params = make_problem(rng)
+    meta, data = to_device_problem(prob, multiple=4, blocked_bm=4)
+    solver = FFMSolver(meta, data)
+    assert solver.kt and solver.kt_u and solver.kt_v
+    state = solver.refresh_caches({"params": oracle_params_to_jax(params)})
+    ref = params
+    for _ in range(2):
+        ref = oracle.oracle_epoch(prob, ref)
+    for _ in range(2):
+        state = solver.epoch(state)
+    for f12 in ref["W"]:
+        np.testing.assert_allclose(
+            np.asarray(state["params"][f12]["W"]), ref["W"][f12],
+            rtol=1e-6, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(state["params"][f12]["H"]), ref["H"][f12],
+            rtol=1e-6, atol=1e-9,
+        )
