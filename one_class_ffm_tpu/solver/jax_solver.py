@@ -385,12 +385,17 @@ class FFMSolver:
         # Also gated by the materialized stream's HBM footprint.
         import os as _os
         mode = _os.environ.get("OCFFM_BLK_PREGATHER", "auto").lower()
-        cap = int(_os.environ.get("OCFFM_BLK_PREGATHER_MB", 2048)) << 20
-        # total-HBM awareness: the materialized stream must leave room for
-        # the epoch working set (~4x the state bytes: P/Q caches, donation
-        # double buffers, CG vectors).  A 2M x 200k run fit WITHOUT
-        # pregather (round 2, 68-75k ex/s) and OOM'd with it forced even
-        # under the per-stream byte cap.
+        # default 400MB: every measured-win config fits (headline 83+66MB,
+        # 1M x 500k 352+320MB, k=128 headline 332MB) while 2M x 200k
+        # (685MB/side, which OOM'd the 16GB chip next to its 2M-row f32 CG
+        # vectors and caches) falls back to the round-2 no-pregather path.
+        # The epoch program can hold several solves' streams live at once,
+        # so the cap is per-stream deliberately conservative.
+        cap = int(_os.environ.get("OCFFM_BLK_PREGATHER_MB", 400)) << 20
+        # total-HBM awareness when the backend reports memory stats (the
+        # axon tunnel reports none): the materialized stream must leave
+        # room for the epoch working set (~4x the state bytes: P/Q caches,
+        # donation double buffers, CG vectors).
         try:
             ms = jax.devices()[0].memory_stats() or {}
             free = ms.get("bytes_limit", 0) - ms.get("bytes_in_use", 0)
@@ -430,7 +435,7 @@ class FFMSolver:
         self.kt_interpret = kmode == "interpret"
         self.kt = kmode not in ("0", "off", "false") and (
             on_tpu or kmode in ("1", "on", "true", "interpret"))
-        kt_vmem = int(_os.environ.get("OCFFM_FUSED_TBL_VMEM_MB", 10)) << 20
+        kt_vmem = int(_os.environ.get("OCFFM_FUSED_TBL_VMEM_MB", 13)) << 20
 
         def kt_side_ok(side_bm: int, own_key: str) -> bool:
             if (not self.kt or meta.blocked_shards > 1 or not side_bm
@@ -535,8 +540,12 @@ class FFMSolver:
         # put MAXC in the tens of thousands and a (BM, MAXC) one-hot plus
         # double-buffered (MAXC, k) rows block past the 16MB scoped limit
         # (measured OOM at headline v-side MAXC=13064)
+        # 13MB: the headline v side (MAXC=13064) estimates 10.2MB kt and
+        # measured 591.9k vs 587.2k with it engaged; the row-major
+        # MAXC=13k grad (real 23.6MB scoped, the measured OOM) still
+        # estimates ~19MB and stays rejected
         self.fused_vmem = int(_os.environ.get(
-            "OCFFM_FUSED_TBL_VMEM_MB", 10)) << 20
+            "OCFFM_FUSED_TBL_VMEM_MB", 13)) << 20
         # per-kind A/B knob: comma set of hv_self,grad_self,hv_cross,
         # grad_cross (default all four)
         kinds = _os.environ.get(

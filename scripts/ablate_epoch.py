@@ -68,7 +68,15 @@ def main() -> int:
                 pos_hv_tbl_pallas=JS.pos_hv_tbl_pallas,
                 hv_self_tbl_pallas=JS.hv_self_tbl_pallas,
                 grad_cross_tbl_pallas=JS.grad_cross_tbl_pallas,
-                grad_self_tbl_pallas=JS.grad_self_tbl_pallas)
+                grad_self_tbl_pallas=JS.grad_self_tbl_pallas,
+                pos_hv_kt_pallas=JS.pos_hv_kt_pallas,
+                pos_hv_tbl_kt_pallas=JS.pos_hv_tbl_kt_pallas,
+                pos_scatter_kt_pallas=JS.pos_scatter_kt_pallas,
+                pos_gap_kt_pallas=JS.pos_gap_kt_pallas,
+                hv_self_tbl_kt_pallas=JS.hv_self_tbl_kt_pallas,
+                grad_cross_tbl_kt_pallas=JS.grad_cross_tbl_kt_pallas,
+                grad_self_tbl_kt_pallas=JS.grad_self_tbl_kt_pallas,
+                gather_blocked_rows_t=JS.gather_blocked_rows_t)
 
     def patch(variant):
         for name, fn in orig.items():
@@ -113,6 +121,47 @@ def main() -> int:
                 (num, B.shape[1]), B.dtype)
         if variant == "no_tbl_scatter":
             JS.scatter = lambda i, v, Z, d: jnp.zeros((d, Z.shape[1]), Z.dtype)
+        if variant == "no_hv_kt":
+            # the k-major per-CG-iteration passes (plain + fused table)
+            JS.pos_hv_kt_pallas = (
+                lambda phi, rows_t, own, w_blk, dm, num, bm, **kw:
+                jnp.zeros((num, phi.shape[1]), phi.dtype))
+            JS.pos_hv_tbl_kt_pallas = (
+                lambda V, xi, xv, rows_t, own, w_blk, dm, bm, **kw:
+                jnp.zeros(V.shape,
+                          jnp.promote_types(V.dtype, jnp.float32)))
+            JS.hv_self_tbl_kt_pallas = (
+                lambda V, xi, xv, Q1, dd, bm, **kw:
+                jnp.zeros(V.shape,
+                          jnp.promote_types(V.dtype, jnp.float32)))
+        if variant == "no_grad_kt":
+            def _zero_gck(dd_, xi, xv, rows_t, own, cb, dense, bm,
+                          w_blk=None, **kw):
+                z = jnp.zeros((dd_, rows_t.shape[1]),
+                              jnp.promote_types(rows_t.dtype, jnp.float32))
+                return z if w_blk is None else (z, z)
+
+            def _zero_gsk(dd_, xi, xv, Q1, zd, own, cb, bm, dd_row=None,
+                          **kw):
+                z = jnp.zeros((dd_, Q1.shape[1]),
+                              jnp.promote_types(Q1.dtype, jnp.float32))
+                return z if dd_row is None else (z, z)
+
+            def _zero_sck(cb, rows_t, own, num, bm, w_blk=None, **kw):
+                z = jnp.zeros((num, rows_t.shape[1]), rows_t.dtype)
+                return z if w_blk is None else (z, z)
+
+            JS.grad_cross_tbl_kt_pallas = _zero_gck
+            JS.grad_self_tbl_kt_pallas = _zero_gsk
+            JS.pos_scatter_kt_pallas = _zero_sck
+        if variant == "no_gap_kt":
+            JS.pos_gap_kt_pallas = (
+                lambda dT, rows_t, own, bm, **kw:
+                jnp.zeros(own.shape[0] * own.shape[1], rows_t.dtype))
+        if variant == "no_rows_pre_kt":
+            JS.gather_blocked_rows_t = (
+                lambda B, take: jnp.zeros(
+                    (take.shape[0], B.shape[1], take.shape[1]), B.dtype))
         if variant == "no_hv_tbl":
             # the fused table-space CG pass (cross + self)
             JS.pos_hv_tbl_pallas = (
