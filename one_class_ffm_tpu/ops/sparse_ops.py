@@ -527,9 +527,27 @@ def make_blocked_layout(seg_ids, take_ids, num_rows: int,
     return out
 
 
+def _cpu_backend() -> bool:
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return True
+
+
+def _up(a, acc_t):
+    """CPU-only upcast for bf16 dot operands: the CPU dot thunk cannot
+    execute BF16 x BF16 = F32, and casting bf16 inputs to f32 before an
+    f32-accumulating dot is BIT-IDENTICAL to the TPU MXU's native bf16
+    semantics (bf16 products are exact in f32).  No-op on TPU."""
+    if _cpu_backend() and a.dtype == jnp.bfloat16:
+        return a.astype(acc_t)
+    return a
+
+
 def _blocked_dot(a: Array, b: Array, out_dtype):
     acc = jnp.promote_types(out_dtype, jnp.float32)
-    return jax.lax.dot(a, b, preferred_element_type=acc).astype(out_dtype)
+    return jax.lax.dot(_up(a, acc), _up(b, acc),
+                       preferred_element_type=acc).astype(out_dtype)
 
 
 # One big up-front row gather per GROUP of blocks instead of one small
@@ -800,11 +818,13 @@ def pos_hv_blocked(phi: Array, B: Array, w: Array, take: Array, src: Array,
             phib = jax.lax.dynamic_slice(phi, (row0, 0), (block_rows, k))
             phig = _blocked_dot(ohm, phib, dt)
             pq = jnp.sum(phig * rows, axis=1) * wb_g[j]
-            blockv = jax.lax.dot(ohm.T, pq[:, None] * rows,
+            blockv = jax.lax.dot(_up(ohm.T, acc_t),
+                                 _up(pq[:, None] * rows, acc_t),
                                  preferred_element_type=acc_t)
             if dense_mat is not None:
                 blockv = blockv + jax.lax.dot(
-                    phib, dense_mat, preferred_element_type=acc_t)
+                    _up(phib, acc_t), _up(dense_mat, acc_t),
+                    preferred_element_type=acc_t)
             return jax.lax.dynamic_update_slice(
                 out, blockv.astype(dt), (row0, 0))
 
@@ -846,7 +866,8 @@ def _dotp(a, b, acc_t, contract0: bool = False):
             if a.dtype in (jnp.float32, jnp.float64) else None)
     dims = ((((0,), (0,)), ((), ())) if contract0
             else (((1,), (0,)), ((), ())))
-    return jax.lax.dot_general(a, b, dims, precision=prec,
+    return jax.lax.dot_general(_up(a, acc_t), _up(b, acc_t), dims,
+                               precision=prec,
                                preferred_element_type=acc_t)
 
 
@@ -1233,7 +1254,8 @@ def _dot_c1(a, b, acc_t):
     kernels' precision floor."""
     prec = (jax.lax.Precision.HIGHEST
             if a.dtype in (jnp.float32, jnp.float64) else None)
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+    return jax.lax.dot_general(_up(a, acc_t), _up(b, acc_t),
+                               (((1,), (1,)), ((), ())),
                                precision=prec, preferred_element_type=acc_t)
 
 
@@ -1698,13 +1720,14 @@ def _hv_blk_kernel(w_scale: float, rows_ref, own_ref, w_ref, phi_ref,
     phib = phi_ref[...]                                   # (BM, k)
     # phig = ohm^T-gather of phi rows BY MATMUL (MXU): contract the BM dim
     phig = jax.lax.dot_general(
-        ohm_t, phib, (((0,), (0,)), ((), ())),
+        _up(ohm_t, acc_t), _up(phib, acc_t), (((0,), (0,)), ((), ())),
         preferred_element_type=acc_t).astype(dt)          # (MAXC, k)
     pq = jnp.sum(phig * rows, axis=1, keepdims=True)      # (MAXC, 1)
     lhs = ohm_t * (w_ref[0] * jnp.asarray(w_scale, dt))
     # out = (w-weighted one-hot) @ (pq * rows) : segment-sum BY MATMUL
-    acc = jax.lax.dot(lhs, pq * rows, preferred_element_type=acc_t)
-    acc = acc + jax.lax.dot(phib, dense_ref[...],
+    acc = jax.lax.dot(_up(lhs, acc_t), _up(pq * rows, acc_t),
+                      preferred_element_type=acc_t)
+    acc = acc + jax.lax.dot(_up(phib, acc_t), _up(dense_ref[...], acc_t),
                             preferred_element_type=acc_t)
     out_ref[...] = acc.astype(dt)
 
