@@ -147,16 +147,26 @@ def make_device_data(
 
     blk = blk_v = None
     if blocked_bm:
+        import os as _os0
+
         from ..ops.sparse_ops import make_blocked_layout
 
+        # OCFFM_BLK_PAD_RATIO: skew guard for the blocked layouts — a
+        # power-user/popular-item block sets MAXC for everyone, and the
+        # blocked passes stream n_blocks*MAXC slots vs the plain ops' nnz.
+        # The k-major kernels made padded slots 4x cheaper to stream, so
+        # head-heavy catalogs may profit from a larger budget (A/B knob).
+        ratio = float(_os0.environ.get("OCFFM_BLK_PAD_RATIO", 2.0))
         pads = np.asarray(y.w) == 0  # zero-weight entries occupy no slots
         if blocked_shards > 1:
             blk = make_blocked_layout(
-                y.u, y.v, u.m, blocked_bm,
+                y.u, y.v, u.m, blocked_bm, max_pad_ratio=ratio,
                 shard_rows=u.m // blocked_shards, drop=pads)
         else:
-            blk = make_blocked_layout(y.u, y.v, u.m, blocked_bm, drop=pads)
-            blk_v = make_blocked_layout(y.v, y.u, v.m, blocked_bm, drop=pads)
+            blk = make_blocked_layout(y.u, y.v, u.m, blocked_bm,
+                                      max_pad_ratio=ratio, drop=pads)
+            blk_v = make_blocked_layout(y.v, y.u, v.m, blocked_bm,
+                                        max_pad_ratio=ratio, drop=pads)
 
     meta = ProblemMeta(
         layout=layout,

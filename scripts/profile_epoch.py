@@ -58,7 +58,9 @@ def main() -> int:
             # expressible; eps=1e9 stops after the while_loop cond -> 0 iters)
             hp = HyperParams(k=k, lam=0.05, omega=0.1, r=-1.0,
                              cg_max_iter=1, cg_eps=1e9)
-        meta, data = make_device_data(u_pad, v_pad, y_pad, layout, hp, dtype=dtype)
+        meta, data = make_device_data(
+            u_pad, v_pad, y_pad, layout, hp, dtype=dtype,
+            blocked_bm=int(os.environ.get("BENCH_BLOCKED_BM", 256)))
         solver = FFMSolver(meta, data)
         state = solver.init(jax.random.key(0))
         state = solver.epoch(state)  # warmup/compile
