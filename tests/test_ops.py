@@ -848,3 +848,56 @@ def test_solver_kt_matches_oracle(rng, monkeypatch):
             np.asarray(state["params"][f12]["H"]), ref["H"][f12],
             rtol=1e-6, atol=1e-9,
         )
+
+
+def test_solver_perf_gates(rng, monkeypatch):
+    """The performance-gate decisions (pregather caps, kt/fused VMEM
+    estimates, mesh fallback) respond to their knobs — regressions here
+    silently cost 40%+ of throughput or OOM the chip."""
+    from conftest import make_problem, to_device_problem
+    from one_class_ffm_tpu.solver.jax_solver import FFMSolver
+
+    monkeypatch.setenv("OCFFM_KT", "interpret")
+    monkeypatch.setenv("OCFFM_FUSED_TBL", "interpret")
+    prob, params = make_problem(rng)
+    meta, data = to_device_problem(prob, multiple=4, blocked_bm=4)
+
+    s = FFMSolver(meta, data)
+    assert s.pregather_u and s.pregather_v  # default: on under the caps
+    assert s.kt_u and s.kt_v
+    assert s.blk_yt  # carry auto-engages when both sides pregather
+
+    # per-stream HBM cap turns pregather (and with it the carry) off
+    monkeypatch.setenv("OCFFM_BLK_PREGATHER_MB", "0")
+    s2 = FFMSolver(meta, data)
+    assert not s2.pregather_u and not s2.pregather_v and not s2.blk_yt
+    monkeypatch.delenv("OCFFM_BLK_PREGATHER_MB")
+
+    # kt VMEM estimate: a tiny budget rejects the k-major kernels and the
+    # fused table kernels per side
+    monkeypatch.setenv("OCFFM_FUSED_TBL_VMEM_MB", "0")
+    s3 = FFMSolver(meta, data)
+    assert not s3.kt_u and not s3.kt_v
+    b0 = next(b for b in meta.layout.cross_blocks())
+    assert s3._fused_tbl_side(b0, True, meta.pad_d(b0.d1)) is None
+    monkeypatch.delenv("OCFFM_FUSED_TBL_VMEM_MB")
+
+    # fused D cap: table dims above it stay on the generic paths
+    monkeypatch.setenv("OCFFM_FUSED_TBL_D", "1")
+    meta4, data4 = to_device_problem(prob, multiple=4, blocked_bm=4)
+    s4 = FFMSolver(meta4, data4)
+    assert all(
+        s4._fused_tbl_side(b, first, meta4.pad_d(b.d1 if first else b.d2))
+        is None
+        for b in meta4.layout.all_blocks() for first in (True, False))
+    monkeypatch.delenv("OCFFM_FUSED_TBL_D")
+
+    # under a mesh (without the shard-aligned stream) everything stream-
+    # kernel-side stays off — the plain GSPMD ops are the mesh path
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(jax.devices()[:2], ("data",))
+    s5 = FFMSolver(meta, data, mesh=mesh)
+    assert not s5.pregather_u and not s5.kt_u and not s5.blk_yt
+    assert s5._fused_tbl_side(b0, True, meta.pad_d(b0.d1)) is None
