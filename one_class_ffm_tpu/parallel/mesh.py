@@ -85,17 +85,34 @@ def shard_data(data: Dict[str, Any], mesh: Mesh, axis: str = "data") -> Dict[str
     guarantee this when set to a multiple of the device count).
     """
     row = NamedSharding(mesh, P(axis))
+    rowT = NamedSharding(mesh, P(None, axis))  # transposed (p, rows) copies
     rep = NamedSharding(mesh, P())
     out = dict(data)
     for key in ("xu_idx", "xu_val", "xv_idx", "xv_val"):
         out[key] = tuple(_put(a, row) for a in data[key])
     for key in ("pos_u", "pos_v", "pos_w", "cnt_u", "cnt_v"):
         out[key] = _put(data[key], row)
-    for key in ("reg_u", "reg_v"):
-        out[key] = tuple(_put(a, rep) for a in data[key])
+    for key in ("reg_u", "reg_v", "colsq_u", "colsq_v"):
+        if key in data:
+            out[key] = tuple(
+                None if a is None else _put(a, rep) for a in data[key])
+    # the fused table kernels' transposed (p, rows) field copies: rows on
+    # the trailing dim
+    for key in ("xt_u", "xt_v"):
+        if key in data:
+            out[key] = tuple(
+                None if pair is None else tuple(_put(a, rowT) for a in pair)
+                for pair in data[key])
     # shard-aligned blocked layout (leading dim = blocks, nested in shards)
     for key in ("blk_u_take", "blk_u_src", "blk_u_own", "blk_u_w",
-                "blk_v_take", "blk_v_src", "blk_v_own", "blk_v_w"):
+                "blk_u_srcg", "blk_u_from_v",
+                "blk_v_take", "blk_v_src", "blk_v_own", "blk_v_w",
+                "blk_v_from_u"):
+        if key in data:
+            out[key] = _put(data[key], row)
+    # flat stream-keyed maps (original position -> slot): diagnostics /
+    # refresh only
+    for key in ("blk_u_inv", "blk_v_inv"):
         if key in data:
             out[key] = _put(data[key], row)
     return out
@@ -159,6 +176,7 @@ def shard_state(
         out["params"] = replicate_params(state["params"], mesh)
     for key in ("P", "Q"):
         out[key] = {f12: _put(v, row) for f12, v in state[key].items()}
-    for key in ("a", "b", "yt"):
-        out[key] = _put(state[key], row)
+    for key in ("a", "b", "yt", "yt_u", "yt_v"):
+        if key in state:
+            out[key] = _put(state[key], row)
     return out

@@ -37,11 +37,24 @@ def make_global_data(data_host: Dict[str, Any], mesh: Mesh, axis: str = "data"):
         out[key] = tuple(make_global(a, mesh, row) for a in data_host[key])
     for key in ("pos_u", "pos_v", "pos_w", "cnt_u", "cnt_v"):
         out[key] = make_global(data_host[key], mesh, row)
-    for key in ("reg_u", "reg_v"):
-        out[key] = tuple(make_global(a, mesh, rep) for a in data_host[key])
+    for key in ("reg_u", "reg_v", "colsq_u", "colsq_v"):
+        if key in data_host:
+            out[key] = tuple(
+                None if a is None else make_global(a, mesh, rep)
+                for a in data_host[key])
+    # the fused table kernels' transposed (p, rows) copies: rows trailing
+    rowT = P(None, axis)
+    for key in ("xt_u", "xt_v"):
+        if key in data_host:
+            out[key] = tuple(
+                None if pair is None
+                else tuple(make_global(a, mesh, rowT) for a in pair)
+                for pair in data_host[key])
     # shard-aligned blocked layout (leading dim = blocks, nested in shards)
     for key in ("blk_u_take", "blk_u_src", "blk_u_own", "blk_u_w",
-                "blk_v_take", "blk_v_src", "blk_v_own", "blk_v_w"):
+                "blk_u_srcg", "blk_u_from_v", "blk_u_inv",
+                "blk_v_take", "blk_v_src", "blk_v_own", "blk_v_w",
+                "blk_v_from_u", "blk_v_inv"):
         if key in data_host:
             out[key] = make_global(data_host[key], mesh, row)
     return out
@@ -90,6 +103,7 @@ def make_global_state(
         out[key] = {
             f12: make_global(v, mesh, row) for f12, v in state_host[key].items()
         }
-    for key in ("a", "b", "yt"):
-        out[key] = make_global(state_host[key], mesh, row)
+    for key in ("a", "b", "yt", "yt_u", "yt_v"):
+        if key in state_host:
+            out[key] = make_global(state_host[key], mesh, row)
     return out

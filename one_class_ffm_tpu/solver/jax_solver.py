@@ -75,7 +75,10 @@ class ProblemMeta:
     # (pad_labels shard_rows=...) and the u-side blocked layout carries
     # shard-LOCAL src indices — the blocked positive passes then run under
     # shard_map, each device streaming only its own slice (the solver must
-    # be constructed with the mesh).  v-side blocked is off in this mode.
+    # be constructed with the mesh).  The v-side layout is built too (slot
+    # arrays shard on the blocks dim; its global src is assembly-time
+    # only): with BOTH layouts the slot-order residual carry engages and
+    # the full kt/fused kernel stack runs shard-locally per side.
     blocked_shards: int = 1
 
     def pad_d(self, d: int) -> int:
@@ -162,6 +165,17 @@ def make_device_data(
             blk = make_blocked_layout(
                 y.u, y.v, u.m, blocked_bm, max_pad_ratio=ratio,
                 shard_rows=u.m // blocked_shards, drop=pads)
+            # v side under the mesh: the layout's slot arrays shard on the
+            # leading blocks dim (item rows ride the same data axis) and
+            # the SHARDED kernel stack consumes only slot-order data (the
+            # residual carry makes coefficients elementwise) — so the
+            # global src is assembly-time only and needs no shard locality.
+            # Rows-per-shard must divide blocked_bm for block/shard nesting.
+            blk_v = None
+            if (blk is not None
+                    and (v.m // blocked_shards) % blocked_bm == 0):
+                blk_v = make_blocked_layout(y.v, y.u, v.m, blocked_bm,
+                                            max_pad_ratio=ratio, drop=pads)
         else:
             blk = make_blocked_layout(y.u, y.v, u.m, blocked_bm,
                                       max_pad_ratio=ratio, drop=pads)
@@ -213,23 +227,35 @@ def make_device_data(
     data["reg_u"] = regs(u)
     data["reg_v"] = regs(v)
 
-    def colsq(pf: PaddedFields):
+    import os as _os
+    fused_cap = int(_os.environ.get("OCFFM_FUSED_TBL_D", 4096))
+
+    def _fused_field(fi: int, pf: PaddedFields, idents) -> bool:
+        """Field eligibility for the fused table kernels — the same filter
+        the xt transposed copies use: non-identity, D under the cap, and a
+        blocked layout to fuse into."""
+        return (bool(blocked_bm) and not idents[fi]
+                and meta.pad_d(pf.Ds[fi]) <= fused_cap)
+
+    def colsq(pf: PaddedFields, idents):
         # per-feature sum of squared values ((X^2)^T 1), static — the fused
         # table kernels' Jacobi-diag omega term (solver._side_colsq).  Pad
         # slots carry val == 0 and pad table rows are never indexed.
+        # Only built for fused-eligible fields (ADVICE r3: a 2M-row identity
+        # field would pin a rows-sized HBM buffer that is never read).
         out = []
         for fi in range(pf.f):
+            if not _fused_field(fi, pf, idents):
+                out.append(None)
+                continue
             a = np.zeros(meta.pad_d(pf.Ds[fi]), np.float64)
             np.add.at(a, np.asarray(pf.idx[fi]).ravel(),
                       np.asarray(pf.val[fi], np.float64).ravel() ** 2)
             out.append(jnp.asarray(a, dtype))
         return tuple(out)
 
-    data["colsq_u"] = colsq(u)
-    data["colsq_v"] = colsq(v)
-
-    import os as _os
-    fused_cap = int(_os.environ.get("OCFFM_FUSED_TBL_D", 4096))
+    data["colsq_u"] = colsq(u, meta.ident_u)
+    data["colsq_v"] = colsq(v, meta.ident_v)
 
     def xt(pf: PaddedFields, idents):
         # TRANSPOSED (p, rows) copies of the fields eligible for the fused
@@ -238,8 +264,7 @@ def make_device_data(
         # the extra HBM is a few (p, rows) scalars.
         out = []
         for fi in range(pf.f):
-            if (blocked_bm and not idents[fi]
-                    and meta.pad_d(pf.Ds[fi]) <= fused_cap):
+            if _fused_field(fi, pf, idents):
                 out.append((
                     jnp.asarray(np.ascontiguousarray(pf.idx[fi].T)),
                     jnp.asarray(np.ascontiguousarray(pf.val[fi].T), dtype),
@@ -264,10 +289,12 @@ def make_device_data(
         data["blk_u_w"] = jnp.asarray(
             y.w[blk.get("src_abs", blk["src"])]
             * (blk["own"] < blk["block_rows"]), dtype)
-        if blocked_shards == 1:
-            # the inv permute is only consumed by the blocked gap / slot
-            # carry, both gated off in sharded mode — don't ship dead HBM
-            data["blk_u_inv"] = jnp.asarray(blk["inv"])
+        data["blk_u_inv"] = jnp.asarray(blk["inv"])
+        if "src_abs" in blk:
+            # GLOBAL stream positions of the u slots (src is shard-local):
+            # consumed by refresh_caches (stream yt -> slot carry) and the
+            # cross-order maps; never read inside the hot passes.
+            data["blk_u_srcg"] = jnp.asarray(blk["src_abs"])
     if blk_v is not None:
         data["blk_v_take"] = jnp.asarray(blk_v["take"])
         data["blk_v_src"] = jnp.asarray(blk_v["src"])
@@ -286,7 +313,10 @@ def make_device_data(
         # to the other side's carried residual with ONE scalar gather
         # (pad slots land anywhere; the blk_*_w mask kills them).  Skipped
         # when the carry is env-disabled (the solver gate keys on presence).
-        data["blk_u_from_v"] = jnp.asarray(blk_v["inv"][blk["src"]])
+        # (inv maps are keyed by GLOBAL stream position, so the u side
+        # indexes with src_abs when its src is shard-local.)
+        data["blk_u_from_v"] = jnp.asarray(
+            blk_v["inv"][blk.get("src_abs", blk["src"])])
         data["blk_v_from_u"] = jnp.asarray(blk["inv"][blk_v["src"]])
     return meta, data
 
@@ -347,6 +377,31 @@ def seg_sum(data: Array, ids: Array, num: int) -> Array:
     return jax.ops.segment_sum(data, ids, num_segments=num)
 
 
+def _phys_bytes(shape, dtype) -> int:
+    """Approximate PHYSICAL device bytes of an array: the last dim pads to
+    128 lanes and the second-to-last to the dtype sublane tile — what HBM
+    budgeting must count (a (p, rows) array with p=1 occupies 8x its logical
+    bytes; every (rows, k<128) array 128/k x)."""
+    isz = jnp.dtype(dtype).itemsize
+    sub = max(8, 32 // isz)
+    dims = list(shape) or [1]
+    dims[-1] = -(-dims[-1] // 128) * 128
+    if len(dims) > 1:
+        dims[-2] = -(-dims[-2] // sub) * sub
+    out = isz
+    for d in dims:
+        out *= d
+    return out
+
+
+def _kt_sublanes(k: int, dtype) -> int:
+    """Physical sublane count of a k-on-sublanes (kt) buffer: k rounded up
+    to the dtype's sublane tile (8 rows x 4 bytes: 8 for f32/f64, 16 for
+    bf16).  The kt HBM byte estimates must use this, not max(8, k)."""
+    sub = max(8, 32 // jnp.dtype(dtype).itemsize)
+    return -(-k // sub) * sub
+
+
 # ---------------------------------------------------------------------------
 # Solver
 # ---------------------------------------------------------------------------
@@ -401,28 +456,55 @@ class FFMSolver:
         # vectors and caches) falls back to the round-2 no-pregather path.
         # The epoch program can hold several solves' streams live at once,
         # so the cap is per-stream deliberately conservative.
-        cap = int(_os.environ.get("OCFFM_BLK_PREGATHER_MB", 400)) << 20
-        # total-HBM awareness when the backend reports memory stats (the
-        # axon tunnel reports none): the materialized stream must leave
-        # room for the epoch working set (~4x the state bytes: P/Q caches,
-        # donation double buffers, CG vectors).
+        cap_env = _os.environ.get("OCFFM_BLK_PREGATHER_MB")
+        cap = (int(cap_env) if cap_env is not None else 400) << 20
+        # total-HBM awareness, computed STATICALLY from the problem shapes
+        # so identical configs always take identical code paths (ADVICE r3:
+        # the old memory_stats() free-bytes sample made the decision depend
+        # on transient allocation order).  HBM size comes from the backend
+        # when it reports one, else OCFFM_HBM_GB (default 16, a v5e chip;
+        # the axon tunnel reports no memory stats at all).  The materialized
+        # stream must leave room for the problem arrays, the state (tables +
+        # caches, ~2x for the per-solve update transients under donation),
+        # and the biggest table's f32 CG vector set.  An EXPLICIT
+        # OCFFM_BLK_PREGATHER_MB wins outright (measurement override).
+        try:
+            on_tpu = jax.default_backend() not in ("cpu",)
+        except Exception:
+            on_tpu = False
         try:
             ms = jax.devices()[0].memory_stats() or {}
-            free = ms.get("bytes_limit", 0) - ms.get("bytes_in_use", 0)
+            total_hbm = int(ms.get("bytes_limit", 0))
         except Exception:
-            free = 0
-        if free > 0:
+            total_hbm = 0
+        if not total_hbm and on_tpu:
+            total_hbm = int(
+                float(_os.environ.get("OCFFM_HBM_GB", 16)) * (1 << 30))
+        budget = None
+        if total_hbm > 0 and cap_env is None:
             k_pad = -(-meta.hp.k // 128) * 128
             isz_ = jnp.dtype(meta.dtype).itemsize
             state_b = 0
+            max_d = 1
             for bi in self.blocks:
                 rows1 = meta.m if bi.f1 < meta.layout.fu else meta.n
                 rows2 = meta.m if bi.f2 < meta.layout.fu else meta.n
                 state_b += (meta.pad_d(bi.d1) + meta.pad_d(bi.d2)
                             + rows1 + rows2) * k_pad * isz_
+                max_d = max(max_d, meta.pad_d(bi.d1), meta.pad_d(bi.d2))
             state_b += 2 * meta.nnz * isz_
-            cap = min(cap, max(0, free - 4 * state_b) // 2)
+            data_b = sum(
+                _phys_bytes(a.shape, a.dtype) for a in jax.tree.leaves(data))
+            cg_b = 5 * max_d * k_pad * 4  # S/R/V/G/Hv at the f32 CG floor
+            budget = total_hbm - data_b - 2 * state_b - cg_b
+            cap = min(cap, max(0, budget) // 2)
         self.pregather_cap = cap
+        self._gate_log = _os.environ.get(
+            "OCFFM_DEBUG_GATES", "0").lower() in ("1", "on", "true")
+        if self._gate_log:
+            print(f"[ocffm gates] pregather_cap={cap >> 20}MB "
+                  f"(hbm={total_hbm >> 20}MB, budget="
+                  f"{'n/a' if budget is None else budget >> 20}MB)")
         # default 0 since the fused-table kernels landed: pregather + fused
         # + the slot-order carry it unlocks measured 459.1k vs 365.2k ex/s
         # at the headline (the round-2 -4% for pregather alone is obsolete);
@@ -448,8 +530,11 @@ class FFMSolver:
         kt_vmem = int(_os.environ.get("OCFFM_FUSED_TBL_VMEM_MB", 13)) << 20
 
         def kt_side_ok(side_bm: int, own_key: str) -> bool:
-            if (not self.kt or meta.blocked_shards > 1 or not side_bm
-                    or own_key not in data or mesh is not None):
+            # under a mesh the kt kernels run only via the shard-aligned
+            # layout (blocked_shards > 1): each side's stream passes are
+            # shard_map-local; a plain mesh keeps the GSPMD COO ops.
+            if (not self.kt or not side_bm or own_key not in data
+                    or (mesh is not None and meta.blocked_shards == 1)):
                 return False
             if not self.kt_interpret and meta.dtype not in (
                     jnp.float32, jnp.bfloat16):
@@ -475,9 +560,12 @@ class FFMSolver:
             if mode in ("1", "on", "true"):
                 return True
             nb, maxc = data[take_key].shape
-            # the k-major stream carries no lane padding — 4x more configs
-            # fit the HBM cap when that side runs the kt kernels
-            lanes = (max(8, meta.hp.k) if kt_side
+            # the k-major stream carries little lane padding — ~4x more
+            # configs fit the HBM cap when that side runs the kt kernels.
+            # k rides SUBLANES there, so pad to the dtype's sublane tile
+            # (8 f32 / 16 bf16) — a bf16 k<=16 stream physically occupies
+            # 2x the naive estimate (ADVICE r3).
+            lanes = (_kt_sublanes(meta.hp.k, meta.dtype) if kt_side
                      else -(-meta.hp.k // 128) * 128)
             nbytes = nb * maxc * lanes * jnp.dtype(meta.dtype).itemsize
             return b_rows >= min_rows and nbytes <= cap
@@ -576,7 +664,6 @@ class FFMSolver:
         # block-sharded and the inv permute would cross shards).
         gmode = _os.environ.get("OCFFM_BLK_GAP", "auto").lower()
         gap_want = gmode not in ("0", "off", "false")
-        self.blk_gap = gap_want and meta.blocked_shards == 1
         # Slot-order residual carry (OCFFM_BLK_YT, default "auto"): carry yt
         # in BOTH sides' blocked slot orders instead of stream order.  The
         # gradient coefficient c = pos_coeff(yt) * w then never needs the
@@ -586,12 +673,43 @@ class FFMSolver:
         # pays one static scalar gather).  Values are bit-identical to the
         # stream carry: the same floats live at permuted positions.
         # Requires every solve to run fully blocked: both layouts present,
-        # pre-gather on both sides, the blocked gap, single-shard stream.
+        # pre-gather on both sides, the blocked gap.
         ymode = _os.environ.get("OCFFM_BLK_YT", "auto").lower()
         yt_want = ymode not in ("0", "off", "false")
-        self.blk_yt = (yt_want and self.blk_gap
-                       and self.pregather_u and self.pregather_v
-                       and "blk_u_from_v" in data)
+        if meta.blocked_shards > 1:
+            # Under the mesh the round-3 stack is all-or-nothing: the
+            # shard_map-local kernels consume SLOT-ORDER coefficients, so
+            # they require the carry (a stream-order c[src] gather with the
+            # v side's global src would cross shards inside the pass).
+            # With the carry: u and v passes run shard-locally (kt/fused
+            # where the per-side gates allow, row-major blocked otherwise),
+            # the gap lands flat in the solving side's slot sharding, and
+            # only the cross-order propagation + the per-solve B-row
+            # all-gather touch the interconnect.
+            self.blk_yt = bool(yt_want and gap_want
+                               and meta.blocked_bm_u and meta.blocked_bm_v
+                               and "blk_u_from_v" in data
+                               and self.pregather_v)
+            self.blk_gap = self.blk_yt
+            if not self.blk_yt:
+                # round-2 sharded fallback: u-side row-major blocked under
+                # shard_map (stream-order c, shard-local src), v side plain
+                # GSPMD COO ops
+                self.kt_u = self.kt_v = False
+                self.pregather_v = False
+                self.pallas_hv_v = False
+        else:
+            self.blk_gap = gap_want
+            self.blk_yt = (yt_want and self.blk_gap
+                           and self.pregather_u and self.pregather_v
+                           and "blk_u_from_v" in data)
+        # which sides' blocked layouts are CONSUMED at runtime (under the
+        # sharded fallback the v layout exists in data but must not be
+        # used: its blocked passes would gather B rows inside a fori_loop
+        # through GSPMD)
+        self.blk_u_on = bool(meta.blocked_bm_u)
+        self.blk_v_on = bool(meta.blocked_bm_v) and (
+            meta.blocked_shards == 1 or self.blk_yt)
         # residual array to sync/inspect on (bench, profiling scripts)
         self.yt_key = "yt_u" if self.blk_yt else "yt"
         # donate the carried state: P/Q/a/b/yt buffers are dead after the
@@ -724,7 +842,9 @@ class FFMSolver:
         d = self.data
         return dict(
             params=params, P=P, Q=Q, a=a, b=b_vec,
-            yt_u=yt[d["blk_u_src"]] * d["blk_u_w"],
+            # srcg: global stream positions (the sharded u layout's src is
+            # shard-local); a one-time gather, never in the hot passes
+            yt_u=yt[d.get("blk_u_srcg", d["blk_u_src"])] * d["blk_u_w"],
             yt_v=yt[d["blk_v_src"]] * d["blk_v_w"],
         )
 
@@ -822,18 +942,63 @@ class FFMSolver:
             if want_diag and self.cg_precond == "jacobi":
                 dd2 = ((1.0 - hp.omega) * cnt
                        + hp.omega * n_other).astype(meta.dtype)
-            if self.kt:
-                res = grad_self_tbl_kt_pallas(
-                    T.shape[0], xi, xv, Q1, zdense[None, :],
-                    d[pre + "own"], c_blk, bm,
-                    dd_row=None if dd2 is None else dd2[None, :],
-                    interpret=self.kt_interpret)
+            # kt per the block's SIDE (kt_u/kt_v), not the global flag: the
+            # side gate carries the kt_interpret-aware dtype check, so a
+            # forced-interpret fused config (OCFFM_FUSED_TBL=interpret +
+            # OCFFM_KT=auto) never routes a self solve to COMPILED kt
+            # Mosaic kernels at dtypes only interpret mode supports.
+            kt_side = self.kt_u if b.kind == "uu" else self.kt_v
+            sharded = meta.blocked_shards > 1
+            if kt_side:
+                zrow = zdense[None, :]
+                ddrow = None if dd2 is None else dd2[None, :]
+                if sharded:
+                    # shard-local rows/blocks, psum'd table-space output
+                    def local(xi_l, xv_l, q1_l, z_l, own_l, cb_l, *dd_l):
+                        return grad_self_tbl_kt_pallas(
+                            T.shape[0], xi_l, xv_l, q1_l, z_l, own_l,
+                            cb_l, bm,
+                            dd_row=dd_l[0] if dd_l else None,
+                            interpret=self.kt_interpret)
+
+                    args = [(xi, "xt"), (xv, "xt"), (Q1, "m2"),
+                            (zrow, "xt"), (d[pre + "own"], "m2"),
+                            (c_blk, "m2")]
+                    if ddrow is not None:
+                        args.append((ddrow, "xt"))
+                    res = self._shard_local(
+                        local, args,
+                        ("r", "r") if ddrow is not None else "r",
+                        psum=True)
+                else:
+                    res = grad_self_tbl_kt_pallas(
+                        T.shape[0], xi, xv, Q1, zrow,
+                        d[pre + "own"], c_blk, bm, dd_row=ddrow,
+                        interpret=self.kt_interpret)
             else:
-                res = grad_self_tbl_pallas(
-                    T.shape[0], xi, xv, Q1, zdense[:, None],
-                    d[pre + "own"], c_blk, bm,
-                    dd=None if dd2 is None else dd2[:, None],
-                    interpret=self.fused_interpret)
+                zcol = zdense[:, None]
+                ddcol = None if dd2 is None else dd2[:, None]
+                if sharded:
+                    def local(xi_l, xv_l, q1_l, z_l, own_l, cb_l, *dd_l):
+                        return grad_self_tbl_pallas(
+                            T.shape[0], xi_l, xv_l, q1_l, z_l, own_l,
+                            cb_l, bm, dd=dd_l[0] if dd_l else None,
+                            interpret=self.fused_interpret)
+
+                    args = [(xi, "xt"), (xv, "xt"), (Q1, "m2"),
+                            (zcol, "m2"), (d[pre + "own"], "m2"),
+                            (c_blk, "m2")]
+                    if ddcol is not None:
+                        args.append((ddcol, "m2"))
+                    res = self._shard_local(
+                        local, args,
+                        ("r", "r") if ddcol is not None else "r",
+                        psum=True)
+                else:
+                    res = grad_self_tbl_pallas(
+                        T.shape[0], xi, xv, Q1, zcol,
+                        d[pre + "own"], c_blk, bm, dd=ddcol,
+                        interpret=self.fused_interpret)
             if dd2 is not None:
                 Gt, Dq = res
                 G = hp.lam * reg[:, None] * T + Gt.astype(meta.dtype)
@@ -843,10 +1008,14 @@ class FFMSolver:
         if self.blk_yt:
             # slot-order carry: c is elementwise on the carried residual and
             # the per-row sum streams sequentially — no random access
-            zpos = seg_sum_blocked(
-                self._pos_coeff(state[yt_key]) * d[pre + "w"],
-                d[pre + "own"], num,
-                meta.blocked_bm_u if b.kind == "uu" else meta.blocked_bm_v)
+            cb = self._pos_coeff(state[yt_key]) * d[pre + "w"]
+            if meta.blocked_shards > 1:
+                zpos = self._seg_sum_blocked_sharded(b.kind == "uu", cb)
+            else:
+                zpos = seg_sum_blocked(
+                    cb, d[pre + "own"], num,
+                    meta.blocked_bm_u if b.kind == "uu"
+                    else meta.blocked_bm_v)
         else:
             c = self._pos_coeff(state["yt"]) * d["pos_w"]
             zpos = jax.ops.segment_sum(
@@ -862,11 +1031,16 @@ class FFMSolver:
     #
     # The shard-aligned stream (pad_labels shard_rows=) puts every user
     # row's positives on the row's own shard, and the blocked layout's src
-    # is shard-LOCAL — so the blocked passes need no communication at all:
-    # shard_map runs the identical per-block one-hot MXU math (or the
-    # Mosaic kernel) device-locally.  The only collective in a sharded
-    # solve is the all-gather hidden in the once-per-solve rows_pre gather
-    # (B is row-sharded) plus the k x k Gram psums GSPMD already inserts.
+    # is shard-LOCAL — so the u-side blocked passes need no communication
+    # at all: shard_map runs the identical per-block one-hot MXU math (or
+    # the kt/fused Mosaic kernels) device-locally.  Under the slot-order
+    # carry the v side runs shard-locally too: every consumed array is in
+    # slot order (coefficients elementwise on the carried residual, rows
+    # pre-gathered, weights pre-permuted), sharded on the blocks dim.  The
+    # collective budget of a sharded solve: the all-gather hidden in the
+    # once-per-solve rows_pre gather (B is row-sharded), a psum of each
+    # fused kernel's table-space output, the carry's cross-order
+    # propagation gather, and the k x k Gram psums GSPMD already inserts.
 
     def _shard_specs(self):
         from jax.sharding import PartitionSpec as P
@@ -874,50 +1048,156 @@ class FFMSolver:
         ax = self.data_axis
         return P(ax), P(ax, None), P(ax, None, None), P()
 
-    def _scatter_blocked_sharded(self, c, rows_pre, wq_blk=None):
-        """pos_scatter_blocked under shard_map (u side, gradient pass).
+    def _shard_local(self, fn, args_specs, out_specs, psum: bool = False):
+        """Run a blocked-kernel call shard-locally under shard_map.
 
-        ``wq_blk``: pre-permuted (n_blocks, MAXC) diag weights (static — the
-        w_blk trick), so the local pass does no scalar gather for them."""
+        ``args_specs``: [(array, spec), ...] with spec one of
+          "v"  (ax,)            sharded vector / flat slot array
+          "m2" (ax, None)       rows- or blocks-leading 2-D
+          "m3" (ax, None, None) the pre-gathered stream
+          "xt" (None, ax)       transposed (p, rows) / (1, rows) arrays
+          "r"  replicated
+        ``out_specs``: spec or tuple of specs.  ``psum``: all-reduce the
+        outputs over the data axis (table-space partial sums)."""
+        from jax.sharding import PartitionSpec as P
+
+        ax = self.data_axis
+        S = dict(v=P(ax), m2=P(ax, None), m3=P(ax, None, None), r=P(),
+                 xt=P(None, ax))
+        args = tuple(a for a, _ in args_specs)
+        in_specs = tuple(S[s] for _, s in args_specs)
+        outs = (tuple(S[s] for s in out_specs)
+                if isinstance(out_specs, tuple) else S[out_specs])
+        if psum:
+            inner = fn
+
+            def fn(*a):  # noqa: F811
+                return jax.tree.map(
+                    lambda t: jax.lax.psum(t, ax), inner(*a))
+
+        wrapped = jax.shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                                out_specs=outs, check_vma=False)
+        return wrapped(*args)
+
+    def _scatter_blocked_sharded(self, first: bool, c, rows_pre,
+                                 wq_blk=None, c_blk=None, kt: bool = False):
+        """The blocked gradient scatter under shard_map.
+
+        ``c`` (stream order, u side only — shard-local src) or ``c_blk``
+        (slot order, either side — the carry mode).  ``wq_blk``:
+        pre-permuted diag weights.  ``kt``: the k-major kernel."""
         meta, d = self.meta, self.data
-        vec, blk2, blk3, rep = self._shard_specs()
-        m_l = meta.m // meta.blocked_shards
-        BM = meta.blocked_bm_u
+        pre = "blk_u_" if first else "blk_v_"
+        num_l = (meta.m if first else meta.n) // meta.blocked_shards
+        BM = meta.blocked_bm_u if first else meta.blocked_bm_v
         with_diag = wq_blk is not None
+        out_specs = ("m2", "m2") if with_diag else "m2"
+        if c_blk is not None:
+            if kt:
+                def local(cb_l, own_l, rows_l, wq_l):
+                    return pos_scatter_kt_pallas(
+                        cb_l, rows_l, own_l, num_l, BM,
+                        w_blk=wq_l if with_diag else None,
+                        interpret=self.kt_interpret)
+            else:
+                def local(cb_l, own_l, rows_l, wq_l):
+                    return pos_scatter_blocked(
+                        None, None, None, None, own_l, num_l, BM,
+                        diag_w_blk=wq_l if with_diag else None,
+                        rows=rows_l, coeff_blk=cb_l)
+            return self._shard_local(
+                local,
+                [(c_blk, "m2"), (d[pre + "own"], "m2"), (rows_pre, "m3"),
+                 (wq_blk if with_diag else d[pre + "w"], "m2")],
+                out_specs)
+        assert first and not kt, "stream-order c is the u-side fallback"
 
         def local(c_l, src_l, own_l, rows_l, wq_l):
             return pos_scatter_blocked(
-                c_l, None, None, src_l, own_l, m_l, BM,
+                c_l, None, None, src_l, own_l, num_l, BM,
                 diag_w_blk=wq_l if with_diag else None, rows=rows_l)
 
-        out_specs = (blk2, blk2) if with_diag else blk2
-        fn = jax.shard_map(local, mesh=self.mesh,
-                           in_specs=(vec, blk2, blk2, blk3, blk2),
-                           out_specs=out_specs, check_vma=False)
-        return fn(c, d["blk_u_src"], d["blk_u_own"], rows_pre,
-                  wq_blk if with_diag else d["blk_u_w"])
+        return self._shard_local(
+            local,
+            [(c, "v"), (d["blk_u_src"], "m2"), (d["blk_u_own"], "m2"),
+             (rows_pre, "m3"),
+             (wq_blk if with_diag else d["blk_u_w"], "m2")],
+            out_specs)
 
-    def _hv_blocked_sharded(self, phi, rows_pre, dmat, w_scale):
-        """pos_hv_blocked / the Mosaic kernel under shard_map (u side, one
-        CG iteration's positive + fused omega term)."""
+    def _hv_blocked_sharded(self, first: bool, phi, rows_pre, dmat,
+                            w_scale, kt: bool = False):
+        """The blocked per-CG-iteration positive + fused omega pass under
+        shard_map (kt, Mosaic row-major, or fused-XLA form)."""
         meta, d = self.meta, self.data
-        vec, blk2, blk3, rep = self._shard_specs()
-        m_l = meta.m // meta.blocked_shards
-        BM = meta.blocked_bm_u
-        use_pallas = self.pallas_hv_u
+        pre = "blk_u_" if first else "blk_v_"
+        num_l = (meta.m if first else meta.n) // meta.blocked_shards
+        BM = meta.blocked_bm_u if first else meta.blocked_bm_v
+        use_pallas = self.pallas_hv_u if first else self.pallas_hv_v
 
         def local(phi_l, own_l, rows_l, w_l, dm):
+            if kt:
+                return pos_hv_kt_pallas(
+                    phi_l, rows_l, own_l, w_l, dm, num_l, BM,
+                    w_scale=w_scale, interpret=self.kt_interpret)
             if use_pallas:
                 return pos_hv_blocked_pallas(
-                    phi_l, rows_l, own_l, w_l, dm, m_l, BM, w_scale=w_scale)
+                    phi_l, rows_l, own_l, w_l, dm, num_l, BM,
+                    w_scale=w_scale)
             return pos_hv_blocked(
-                phi_l, None, None, None, None, own_l, m_l, BM,
+                phi_l, None, None, None, None, own_l, num_l, BM,
                 rows=rows_l, w_blk=w_l, w_scale=w_scale, dense_mat=dm)
 
-        fn = jax.shard_map(local, mesh=self.mesh,
-                           in_specs=(blk2, blk2, blk3, blk2, rep),
-                           out_specs=blk2, check_vma=False)
-        return fn(phi, d["blk_u_own"], rows_pre, d["blk_u_w"], dmat)
+        return self._shard_local(
+            local,
+            [(phi, "m2"), (d[pre + "own"], "m2"), (rows_pre, "m3"),
+             (d[pre + "w"], "m2"), (dmat, "r")],
+            "m2")
+
+    def _gap_blocked_sharded(self, first: bool, dT, rows_pre,
+                             kt: bool = False):
+        """The blocked residual gap under shard_map: returns the FLAT
+        slot-order gap, sharded over the data axis (block-nested slots)."""
+        meta, d = self.meta, self.data
+        pre = "blk_u_" if first else "blk_v_"
+        BM = meta.blocked_bm_u if first else meta.blocked_bm_v
+
+        def local(dT_l, own_l, rows_l):
+            if kt:
+                return pos_gap_kt_pallas(dT_l, rows_l, own_l, BM,
+                                         interpret=self.kt_interpret)
+            return pos_gap_blocked(dT_l, rows_l, own_l, None, BM)
+
+        return self._shard_local(
+            local,
+            [(dT, "m2"), (d[pre + "own"], "m2"), (rows_pre, "m3")],
+            "v")
+
+    def _seg_sum_blocked_sharded(self, first: bool, c_blk):
+        """seg_sum_blocked (per-row sums of slot-order values) under
+        shard_map."""
+        meta, d = self.meta, self.data
+        pre = "blk_u_" if first else "blk_v_"
+        num_l = (meta.m if first else meta.n) // meta.blocked_shards
+        BM = meta.blocked_bm_u if first else meta.blocked_bm_v
+
+        def local(cb_l, own_l):
+            return seg_sum_blocked(cb_l, own_l, num_l, BM)
+
+        return self._shard_local(
+            local, [(c_blk, "m2"), (d[pre + "own"], "m2")], "v")
+
+    def _expand_rows_sharded(self, first: bool, vec):
+        """expand_rows_blocked (per-slot copy of a per-row vector) under
+        shard_map: flat slot-order output, data-sharded."""
+        meta, d = self.meta, self.data
+        pre = "blk_u_" if first else "blk_v_"
+        BM = meta.blocked_bm_u if first else meta.blocked_bm_v
+
+        def local(v_l, own_l):
+            return expand_rows_blocked(v_l, own_l, BM)
+
+        return self._shard_local(
+            local, [(vec, "v"), (d[pre + "own"], "m2")], "v")
 
     def _grad_cross(self, state, b: BlockInfo, first: bool,
                     with_diag_pos: bool = False, rows_pre=None,
@@ -961,11 +1241,26 @@ class FFMSolver:
             cb = c_blk if c_blk is not None else c[d[pre + "src"]]
             kern = grad_cross_tbl_kt_pallas if kt else grad_cross_tbl_pallas
             interp = self.kt_interpret if kt else self.fused_interpret
+            sharded = meta.blocked_shards > 1
             if with_diag_pos:
-                Gt, Qt = kern(
-                    T.shape[0], xi, xv, rows_pre, d[pre + "own"], cb,
-                    dense, bm, w_blk=d[pre + "w"],
-                    wq_scale=(1.0 - hp.omega), interpret=interp)
+                if sharded:
+                    def local(xi_l, xv_l, rows_l, own_l, cb_l, dn_l, w_l):
+                        return kern(
+                            T.shape[0], xi_l, xv_l, rows_l, own_l, cb_l,
+                            dn_l, bm, w_blk=w_l,
+                            wq_scale=(1.0 - hp.omega), interpret=interp)
+
+                    Gt, Qt = self._shard_local(
+                        local,
+                        [(xi, "xt"), (xv, "xt"), (rows_pre, "m3"),
+                         (d[pre + "own"], "m2"), (cb, "m2"), (dense, "m2"),
+                         (d[pre + "w"], "m2")],
+                        ("r", "r"), psum=True)
+                else:
+                    Gt, Qt = kern(
+                        T.shape[0], xi, xv, rows_pre, d[pre + "own"], cb,
+                        dense, bm, w_blk=d[pre + "w"],
+                        wq_scale=(1.0 - hp.omega), interpret=interp)
                 B1 = state["Q"][f12] if first else state["P"][f12]
                 qtq_d = jnp.sum(B1 * B1, axis=0)  # pad rows are zero
                 colsq = self._side_colsq(b, first)
@@ -973,9 +1268,21 @@ class FFMSolver:
                         + Qt.astype(meta.dtype))
                 G = hp.lam * reg[:, None] * T + Gt.astype(meta.dtype)
                 return G, ("tbl", tblD)
-            Gt = kern(
-                T.shape[0], xi, xv, rows_pre, d[pre + "own"], cb, dense,
-                bm, interpret=interp)
+            if sharded:
+                def local(xi_l, xv_l, rows_l, own_l, cb_l, dn_l):
+                    return kern(
+                        T.shape[0], xi_l, xv_l, rows_l, own_l, cb_l,
+                        dn_l, bm, interpret=interp)
+
+                Gt = self._shard_local(
+                    local,
+                    [(xi, "xt"), (xv, "xt"), (rows_pre, "m3"),
+                     (d[pre + "own"], "m2"), (cb, "m2"), (dense, "m2")],
+                    "r", psum=True)
+            else:
+                Gt = kern(
+                    T.shape[0], xi, xv, rows_pre, d[pre + "own"], cb,
+                    dense, bm, interpret=interp)
             return hp.lam * reg[:, None] * T + Gt.astype(meta.dtype)
 
         def kt_scatter(pre, num, bm):
@@ -1003,8 +1310,8 @@ class FFMSolver:
             fg = fused_grad("blk_u_", dense)
             if fg is not None:
                 return fg
-            if meta.blocked_bm_u and (rows_pre is not None
-                                      or not with_diag_pos):
+            if self.blk_u_on and (rows_pre is not None
+                                  or not with_diag_pos):
                 # blocked layout: segment-sum as MXU block matmuls.  Without
                 # pre-gathered rows the Jacobi diag keeps the fused
                 # pos_scatter_pair (one random gather feeds both payloads —
@@ -1017,7 +1324,8 @@ class FFMSolver:
                           if with_diag_pos else None)
                 if meta.blocked_shards > 1:
                     res = self._scatter_blocked_sharded(
-                        c, rows_pre, wq_blk=wq_blk)
+                        True, c, rows_pre, wq_blk=wq_blk, c_blk=c_blk,
+                        kt=kt and rows_pre is not None)
                     zpos, posq = res if with_diag_pos else (res, None)
                 elif kt and rows_pre is not None:
                     zpos, posq = kt_scatter("blk_u_", meta.m,
@@ -1051,18 +1359,23 @@ class FFMSolver:
             fg = fused_grad("blk_v_", dense)
             if fg is not None:
                 return fg
-            if meta.blocked_bm_v and (rows_pre is not None
-                                      or not with_diag_pos):
-                if kt and rows_pre is not None:
+            if self.blk_v_on and (rows_pre is not None
+                                  or not with_diag_pos):
+                wq_blk = ((1.0 - hp.omega) * d["blk_v_w"]
+                          if with_diag_pos else None)
+                if meta.blocked_shards > 1:
+                    res = self._scatter_blocked_sharded(
+                        False, None, rows_pre, wq_blk=wq_blk, c_blk=c_blk,
+                        kt=kt and rows_pre is not None)
+                    zpos, posq = res if with_diag_pos else (res, None)
+                elif kt and rows_pre is not None:
                     zpos, posq = kt_scatter("blk_v_", meta.n,
                                             meta.blocked_bm_v)
                 else:
                     res = pos_scatter_blocked(
                         c, P1, d["blk_v_take"], d["blk_v_src"],
                         d["blk_v_own"], meta.n, meta.blocked_bm_v,
-                        diag_w_blk=((1.0 - hp.omega) * d["blk_v_w"]
-                                    if with_diag_pos else None),
-                        rows=rows_pre, coeff_blk=c_blk)
+                        diag_w_blk=wq_blk, rows=rows_pre, coeff_blk=c_blk)
                     zpos, posq = res if with_diag_pos else (res, None)
             elif with_diag_pos:
                 assert c is not None, "slot carry requires the blocked path"
@@ -1097,8 +1410,12 @@ class FFMSolver:
         footprint to estimate: hv_self | grad_self | hv_cross | grad_cross.
         """
         meta = self.meta
-        if (not self.fused_tbl or meta.blocked_shards > 1
-                or self.mesh is not None):
+        if not self.fused_tbl:
+            return None
+        if self.mesh is not None and not (
+                meta.blocked_shards > 1 and self.blk_yt):
+            # under a mesh the fused kernels run only inside the sharded
+            # carry mode (shard_map-local, table outputs psum'd)
             return None
         if kind not in self.fused_kinds:
             return None
@@ -1158,20 +1475,44 @@ class FFMSolver:
         fused = self._fused_tbl_side(b, first, dim, "hv_self")
         if fused is not None:
             xi, xv, bm = fused
-            if self.kt:
+            sharded = meta.blocked_shards > 1
+            # side-consistent kt gate (see _grad_self): never route a
+            # forced-interpret config to compiled kt Mosaic kernels
+            if self.kt_u if b.kind == "uu" else self.kt_v:
                 dd_row = dd[None, :].astype(self.meta.dtype)
 
                 def hv_fused_kt(V: Array) -> Array:
-                    G = hv_self_tbl_kt_pallas(V, xi, xv, Q1, dd_row, bm,
-                                              interpret=self.kt_interpret)
+                    if sharded:
+                        G = self._shard_local(
+                            lambda xi_l, xv_l, q1_l, dd_l, Vr:
+                            hv_self_tbl_kt_pallas(
+                                Vr, xi_l, xv_l, q1_l, dd_l, bm,
+                                interpret=self.kt_interpret),
+                            [(xi, "xt"), (xv, "xt"), (Q1, "m2"),
+                             (dd_row, "xt"), (V, "r")],
+                            "r", psum=True)
+                    else:
+                        G = hv_self_tbl_kt_pallas(
+                            V, xi, xv, Q1, dd_row, bm,
+                            interpret=self.kt_interpret)
                     return hp.lam * reg[:, None] * V + G.astype(V.dtype)
 
                 return hv_fused_kt
             dd2 = dd[:, None].astype(self.meta.dtype)
 
             def hv_fused(V: Array) -> Array:
-                G = hv_self_tbl_pallas(V, xi, xv, Q1, dd2, bm,
-                                       interpret=self.fused_interpret)
+                if sharded:
+                    G = self._shard_local(
+                        lambda xi_l, xv_l, q1_l, dd_l, Vr:
+                        hv_self_tbl_pallas(
+                            Vr, xi_l, xv_l, q1_l, dd_l, bm,
+                            interpret=self.fused_interpret),
+                        [(xi, "xt"), (xv, "xt"), (Q1, "m2"),
+                         (dd2, "m2"), (V, "r")],
+                        "r", psum=True)
+                else:
+                    G = hv_self_tbl_pallas(V, xi, xv, Q1, dd2, bm,
+                                           interpret=self.fused_interpret)
                 return hp.lam * reg[:, None] * V + G.astype(V.dtype)
 
             return hv_fused
@@ -1205,7 +1546,8 @@ class FFMSolver:
         dim = (state["params"][b.f12]["W" if first else "H"]).shape[0]
         w_pos = d["pos_w"]
 
-        blk_bm = meta.blocked_bm_u if first else meta.blocked_bm_v
+        blk_bm = (meta.blocked_bm_u if first else meta.blocked_bm_v) if (
+            self.blk_u_on if first else self.blk_v_on) else 0
         if blk_bm:
             # blocked layout: pos_dot + pos_scatter fused into one
             # B-row gather + two one-hot MXU matmuls per row block.  The
@@ -1233,9 +1575,19 @@ class FFMSolver:
                 interp = self.kt_interpret if kt else self.fused_interpret
 
                 def hv_tbl(V: Array) -> Array:
-                    G = kern(
-                        V, xi, xv, rows_pre, d[pre + "own"], w_blk, dmat,
-                        bm, w_scale=w_scale, interpret=interp)
+                    if sharded:
+                        G = self._shard_local(
+                            lambda xi_l, xv_l, rows_l, own_l, w_l, dm, Vr:
+                            kern(Vr, xi_l, xv_l, rows_l, own_l, w_l, dm,
+                                 bm, w_scale=w_scale, interpret=interp),
+                            [(xi, "xt"), (xv, "xt"), (rows_pre, "m3"),
+                             (d[pre + "own"], "m2"), (w_blk, "m2"),
+                             (dmat, "r"), (V, "r")],
+                            "r", psum=True)
+                    else:
+                        G = kern(
+                            V, xi, xv, rows_pre, d[pre + "own"], w_blk,
+                            dmat, bm, w_scale=w_scale, interpret=interp)
                     return hp.lam * reg[:, None] * V + G.astype(V.dtype)
 
                 return hv_tbl
@@ -1245,10 +1597,14 @@ class FFMSolver:
 
                 def hv_kt(V: Array) -> Array:
                     phi = self._proj(b, first, V)
-                    zp = pos_hv_kt_pallas(
-                        phi, rows_pre, d[pre + "own"], w_blk, dmat, num,
-                        blk_bm, w_scale=w_scale,
-                        interpret=self.kt_interpret)
+                    if sharded:
+                        zp = self._hv_blocked_sharded(
+                            first, phi, rows_pre, dmat, w_scale, kt=True)
+                    else:
+                        zp = pos_hv_kt_pallas(
+                            phi, rows_pre, d[pre + "own"], w_blk, dmat,
+                            num, blk_bm, w_scale=w_scale,
+                            interpret=self.kt_interpret)
                     return hp.lam * reg[:, None] * V + self._scat(
                         b, first, zp, dim)
 
@@ -1258,7 +1614,7 @@ class FFMSolver:
                 phi = self._proj(b, first, V)  # (rows, k)
                 if sharded:
                     zp = self._hv_blocked_sharded(
-                        phi, rows_pre, dmat, w_scale)
+                        first, phi, rows_pre, dmat, w_scale)
                 elif use_pallas:
                     zp = pos_hv_blocked_pallas(
                         phi, rows_pre, d[pre + "own"], w_blk, dmat,
@@ -1423,15 +1779,20 @@ class FFMSolver:
 
         other = state["Q"][f12] if first else state["P"][f12]
         meta = self.meta
+        sharded = meta.blocked_shards > 1
         if b.kind == "uu":
             da = jnp.sum(dP * other, axis=1)
             state["a"] = state["a"] + da
             if self.blk_yt:
                 # own side: da expands per block (sequential); other side:
                 # blk_v_take IS pos_u in v-slot order — one scalar gather
-                state["yt_u"] = state["yt_u"] + expand_rows_blocked(
-                    da, d["blk_u_own"], meta.blocked_bm_u
-                ).reshape(state["yt_u"].shape)
+                # (under the mesh that gather crosses shards; GSPMD turns
+                # it into the carry-propagation collective)
+                exp = (self._expand_rows_sharded(True, da) if sharded
+                       else expand_rows_blocked(
+                           da, d["blk_u_own"], meta.blocked_bm_u))
+                state["yt_u"] = state["yt_u"] + exp.reshape(
+                    state["yt_u"].shape)
                 state["yt_v"] = state["yt_v"] + da[d["blk_v_take"]] \
                     * d["blk_v_w"]
             else:
@@ -1440,9 +1801,11 @@ class FFMSolver:
             db = jnp.sum(dP * other, axis=1)
             state["b"] = state["b"] + db
             if self.blk_yt:
-                state["yt_v"] = state["yt_v"] + expand_rows_blocked(
-                    db, d["blk_v_own"], meta.blocked_bm_v
-                ).reshape(state["yt_v"].shape)
+                exp = (self._expand_rows_sharded(False, db) if sharded
+                       else expand_rows_blocked(
+                           db, d["blk_v_own"], meta.blocked_bm_v))
+                state["yt_v"] = state["yt_v"] + exp.reshape(
+                    state["yt_v"].shape)
                 state["yt_u"] = state["yt_u"] + db[d["blk_u_take"]] \
                     * d["blk_u_w"]
             else:
@@ -1454,7 +1817,10 @@ class FFMSolver:
                 # the static cross-order map — the only scalar gather left
                 pre = "blk_u_" if first else "blk_v_"
                 bm = meta.blocked_bm_u if first else meta.blocked_bm_v
-                if kt:
+                if sharded:
+                    gap_flat = self._gap_blocked_sharded(
+                        first, dP, rows_pre, kt=kt)
+                elif kt:
                     gap_flat = pos_gap_kt_pallas(
                         dP, rows_pre, d[pre + "own"], bm,
                         interpret=self.kt_interpret)
@@ -1515,8 +1881,8 @@ class FFMSolver:
                 if (self._fused_tbl_side(b, first, dim_t, "hv_cross", kt)
                         is not None and take_key in self.data):
                     nb, maxc = self.data[take_key].shape
-                    lanes = (max(8, self.meta.hp.k) if kt
-                             else -(-self.meta.hp.k // 128) * 128)
+                    lanes = (_kt_sublanes(self.meta.hp.k, self.meta.dtype)
+                             if kt else -(-self.meta.hp.k // 128) * 128)
                     nbytes = (nb * maxc * lanes
                               * jnp.dtype(self.meta.dtype).itemsize)
                     pregather = nbytes <= self.pregather_cap
@@ -1526,8 +1892,8 @@ class FFMSolver:
                 take = d["blk_u_take"] if first else d["blk_v_take"]
                 rows_pre = (gather_blocked_rows_t(B1, take) if kt
                             else gather_blocked_rows(B1, take))
-                if first and self.meta.blocked_shards > 1:
-                    # the only collective of a sharded blocked solve: B is
+                if self.meta.blocked_shards > 1:
+                    # the main collective of a sharded blocked solve: B is
                     # row-sharded, so this gather all-gathers it once per
                     # solve; pin the result to the block sharding the
                     # shard_map passes expect

@@ -77,16 +77,31 @@ import dataclasses  # noqa: E402
 
 # init/refresh only (no epoch): a plain-view solver avoids the mesh
 # requirement of blocked_shards metas
-meta_plain = dataclasses.replace(meta, blocked_shards=1, blocked_bm_u=0)
+meta_plain = dataclasses.replace(
+    meta, blocked_shards=1, blocked_bm_u=0, blocked_bm_v=0)
 solver_local = FFMSolver(meta_plain, data)
 state_host = jax.tree.map(np.asarray, solver_local.init(jax.random.key(0)))
 data_host = jax.tree.map(np.asarray, data)
 
 gdata = make_global_data(data_host, mesh)
 gsolver = FFMSolver(meta, gdata, mesh=mesh if mode == "blk" else None)
-gstate = make_global_state(
-    state_host, mesh, model_min_rows=8 if mode == "tp" else 0
-)
+if mode == "blk" and gsolver.blk_yt:
+    # the sharded solver carries the residual in blocked slot orders —
+    # rebuild its state from the same params via ITS OWN refresh (same
+    # floats, carrier layout chosen by the solver)
+    from jax.sharding import PartitionSpec as P  # noqa: E402
+
+    from one_class_ffm_tpu.parallel.multihost import make_global  # noqa: E402
+
+    gparams = {
+        f12: {k: make_global(v, mesh, P()) for k, v in blk.items()}
+        for f12, blk in state_host["params"].items()
+    }
+    gstate = gsolver.refresh_caches({"params": gparams})
+else:
+    gstate = make_global_state(
+        state_host, mesh, model_min_rows=8 if mode == "tp" else 0
+    )
 if mode == "tp":
     sharded_tables = [
         t for blk in gstate["params"].values() for t in blk.values()

@@ -892,8 +892,8 @@ def test_solver_perf_gates(rng, monkeypatch):
         for b in meta4.layout.all_blocks() for first in (True, False))
     monkeypatch.delenv("OCFFM_FUSED_TBL_D")
 
-    # under a mesh (without the shard-aligned stream) everything stream-
-    # kernel-side stays off — the plain GSPMD ops are the mesh path
+    # under a PLAIN mesh (no shard-aligned stream) everything stream-
+    # kernel-side stays off — the plain GSPMD ops are that mesh path
     import jax
     from jax.sharding import Mesh
 
@@ -901,3 +901,28 @@ def test_solver_perf_gates(rng, monkeypatch):
     s5 = FFMSolver(meta, data, mesh=mesh)
     assert not s5.pregather_u and not s5.kt_u and not s5.blk_yt
     assert s5._fused_tbl_side(b0, True, meta.pad_d(b0.d1)) is None
+
+    # under the SHARD-ALIGNED mesh the full round-3 stack stays ON
+    # (kt + fused + pregather both sides + carry, shard_map-local) —
+    # multi-chip must run at round-3 kernel speed (VERDICT r3 #1)
+    S, BM = 2, 4
+    prob6, _ = make_problem(rng, m=19, n=13)
+    meta6, data6 = to_device_problem(
+        prob6, row_pad=1, multiple=S * BM, blocked_bm=BM, blocked_shards=S)
+    assert meta6.blocked_bm_u == BM and meta6.blocked_bm_v == BM
+    s6 = FFMSolver(meta6, data6, mesh=mesh)
+    assert s6.kt_u and s6.kt_v and s6.blk_yt and s6.blk_gap
+    assert s6.pregather_u and s6.pregather_v and s6.blk_v_on
+    b6 = next(b for b in meta6.layout.cross_blocks())
+    assert s6._fused_tbl_side(
+        b6, True, meta6.pad_d(b6.d1), "hv_cross", kt=True) is not None
+
+    # the carry (and with it kt/fused) off under shards -> the round-2
+    # sharded fallback: u row-major blocked, v plain
+    monkeypatch.setenv("OCFFM_BLK_YT", "0")
+    s7 = FFMSolver(meta6, data6, mesh=mesh)
+    assert not s7.blk_yt and not s7.kt_u and not s7.kt_v
+    assert s7.pregather_u and not s7.pregather_v and not s7.blk_v_on
+    assert s7._fused_tbl_side(
+        b6, True, meta6.pad_d(b6.d1), "hv_cross", kt=False) is None
+    monkeypatch.delenv("OCFFM_BLK_YT")

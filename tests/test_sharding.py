@@ -75,10 +75,14 @@ def test_sharded_blocked_epoch_matches_plain(rng, eight_devices, cfg):
     meta_b, data_b = to_device_problem(
         prob, row_pad=1, multiple=S * BM, blocked_bm=BM, blocked_shards=S)
     assert meta_b.blocked_shards == S and meta_b.blocked_bm_u == BM
-    assert meta_b.blocked_bm_v == 0  # v side stays plain under shards
+    # round 4: the v-side layout is built under shards too — with both
+    # layouts the slot-order carry engages and BOTH sides' passes run
+    # shard-locally (row-major kernels here; kt is TPU/interpret-gated)
+    assert meta_b.blocked_bm_v == BM
     sdata = shard_data(data_b, mesh)
     ssolver = FFMSolver(meta_b, sdata, mesh=mesh)
     assert ssolver.pregather_u  # mandatory for the shard-local passes
+    assert ssolver.blk_yt and ssolver.blk_v_on and ssolver.pregather_v
     sstate = shard_state(
         ssolver.refresh_caches({"params": oracle_params_to_jax(params)}),
         mesh)
@@ -92,6 +96,72 @@ def test_sharded_blocked_epoch_matches_plain(rng, eight_devices, cfg):
             np.asarray(got["params"][f12]["H"]), np.asarray(blk["H"]),
             rtol=1e-6, atol=1e-9,
         )
+
+
+@pytest.mark.parametrize("cfg", [dict(), dict(self_side=False)])
+def test_sharded_kt_fused_carry_epoch_matches_plain(
+        rng, eight_devices, monkeypatch, cfg):
+    """The FULL round-3 kernel stack under the mesh (kt + fused table
+    kernels in interpret mode + pregather both sides + slot-order carry +
+    blocked gap, all shard_map-local with psum'd table outputs) must match
+    the plain single-device epoch — multi-chip runs at round-3 kernel
+    speed, not the round-2 fallback (VERDICT r3 #1)."""
+    monkeypatch.setenv("OCFFM_KT", "interpret")
+    monkeypatch.setenv("OCFFM_FUSED_TBL", "interpret")
+    S, BM = 8, 4
+    prob, params = make_problem(rng, m=19, n=13, **cfg)
+    meta_p, data_p = to_device_problem(prob, row_pad=1, multiple=S * BM)
+    plain = FFMSolver(meta_p, data_p)
+    st = plain.refresh_caches({"params": oracle_params_to_jax(params)})
+    ref = plain.epoch(plain.epoch(st))
+
+    mesh = make_mesh(S)
+    meta_b, data_b = to_device_problem(
+        prob, row_pad=1, multiple=S * BM, blocked_bm=BM, blocked_shards=S)
+    sdata = shard_data(data_b, mesh)
+    ssolver = FFMSolver(meta_b, sdata, mesh=mesh)
+    # the whole stack must actually be ON (asserted, not assumed)
+    assert ssolver.kt_u and ssolver.kt_v
+    assert ssolver.pregather_u and ssolver.pregather_v
+    assert ssolver.blk_gap and ssolver.blk_yt and ssolver.blk_v_on
+    b0 = next(b for b in meta_b.layout.cross_blocks())
+    assert ssolver._fused_tbl_side(
+        b0, True, meta_b.pad_d(b0.d1), "hv_cross", kt=True) is not None
+    sstate = shard_state(
+        ssolver.refresh_caches({"params": oracle_params_to_jax(params)}),
+        mesh)
+    got = ssolver.epoch(ssolver.epoch(sstate))
+    for f12, blk in ref["params"].items():
+        np.testing.assert_allclose(
+            np.asarray(got["params"][f12]["W"]), np.asarray(blk["W"]),
+            rtol=1e-6, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["params"][f12]["H"]), np.asarray(blk["H"]),
+            rtol=1e-6, atol=1e-9,
+        )
+    # the carried residual stays consistent: stream reconstruction matches
+    # the plain solver's stream residual on every REAL entry
+    keep = np.asarray(data_b["pos_w"]) > 0
+    np.testing.assert_allclose(
+        np.asarray(ssolver.yt_stream(got))[keep],
+        np.asarray(plain.yt_stream(ref))[_stream_map(data_b, data_p)][keep],
+        rtol=1e-6, atol=1e-9)
+
+
+def _stream_map(data_aligned, data_plain):
+    """Map each aligned-stream position to the plain-stream position of the
+    same (u, v) pair (only meaningful at real entries — callers mask)."""
+    ua = np.asarray(data_aligned["pos_u"])
+    va = np.asarray(data_aligned["pos_v"])
+    up = np.asarray(data_plain["pos_u"])
+    vp = np.asarray(data_plain["pos_v"])
+    n = int(max(int(vp.max()), int(va.max()))) + 1
+    keys_p = up.astype(np.int64) * n + vp
+    keys_a = ua.astype(np.int64) * n + va
+    order = np.argsort(keys_p, kind="stable")
+    pos = np.clip(np.searchsorted(keys_p[order], keys_a), 0, len(order) - 1)
+    return order[pos]
 
 
 def test_sharded_outputs_stay_distributed(rng, eight_devices):

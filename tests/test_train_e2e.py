@@ -254,8 +254,11 @@ def test_trainer_sharded_blocked_active(dataset, tmp_path):
 
     tr8 = Trainer(make_cfg(dataset, tmp_path, mesh_shape="8", **kw))
     assert tr8.meta.blocked_shards == 8, "sharded blocked layout rejected"
-    assert tr8.meta.blocked_bm_u == 8 and tr8.meta.blocked_bm_v == 0
-    assert tr8.solver.pregather_u
+    # round 4: the v layout is built under shards too and the slot-order
+    # carry engages — both sides run shard_map-local blocked passes
+    assert tr8.meta.blocked_bm_u == 8 and tr8.meta.blocked_bm_v == 8
+    assert tr8.solver.pregather_u and tr8.solver.blk_yt
+    assert tr8.solver.blk_v_on
     tr8.run(log=lambda *_: None)
     assert not tr8.state["a"].sharding.is_fully_replicated
     m8 = tr8.validate()
