@@ -430,7 +430,8 @@ def pos_hv(phi: Array, own_ids: Array, B: Array, other_ids: Array,
 
 def make_blocked_layout(seg_ids, take_ids, num_rows: int,
                         block_rows: int = 256, max_pad_ratio: float = 2.0,
-                        shard_rows: int = 0, drop=None):
+                        shard_rows: int = 0, drop=None,
+                        head_chunk: int = 512):
     """Host-side (numpy) block-aligned view of the COO stream, segmented by
     ``seg_ids``.  An unsorted segment side is stable-argsorted first — the
     per-call coefficient permutation this induces is a cheap (nnz,) scalar
@@ -452,7 +453,22 @@ def make_blocked_layout(seg_ids, take_ids, num_rows: int,
     shard_map with each device gathering coefficients only from its own
     slice.  Requires the stream already sorted by ``seg_ids`` (the aligned
     layout is) and block/shard boundaries to nest (shard_rows % block_rows
-    == 0)."""
+    == 0).
+
+    ``head_chunk`` > 0 (single-shard only): when a popularity-skewed side
+    would fail the pad-ratio guard (a handful of power rows set MAXC for
+    everyone — the reference's load-imbalance case, schedule(guided)
+    ffm.cpp:572), split TWO-TIER instead of rejecting: the heaviest rows'
+    entries move to a chunked HEAD tier ((n_chunks, head_chunk) slots, each
+    chunk owned by exactly ONE row, per-row padding < one chunk) and the
+    TAIL tier is the ordinary blocked layout over ALL rows with the head
+    entries dropped — so its MAXC collapses to the tail's max and every
+    dense per-row term still runs once over the full row space.  Extra
+    keys: hd_src/hd_take (n_chunks, head_chunk), hd_row/hd_loc (n_chunks,)
+    global row id / compact head index per chunk, hd_valid, hd_rows (the
+    (n_head,) sorted global head row list), chunk.  ``inv`` then maps into
+    the CONCATENATED flat slot space (tail slots first, head slots at
+    offset n_blocks * MAXC)."""
     import numpy as np
 
     if block_rows <= 0 or num_rows % block_rows or num_rows == 0:
@@ -477,38 +493,120 @@ def make_blocked_layout(seg_ids, take_ids, num_rows: int,
         seg = seg[order]
         back = order if back is None else back[order]
     n_blocks = num_rows // block_rows
-    starts = np.searchsorted(seg, np.arange(0, num_rows + 1, block_rows))
-    counts = np.diff(starts)
-    maxc = int(counts.max())
-    MAXC = max(8, -(-maxc // 8) * 8)  # sublane-friendly
+
+    def block_counts(s):
+        starts = np.searchsorted(s, np.arange(0, num_rows + 1, block_rows))
+        return starts, np.diff(starts)
+
+    starts, counts = block_counts(seg)
+    MAXC = max(8, -(-int(counts.max()) // 8) * 8)  # sublane-friendly
     # cost guard: blocked passes stream n_blocks*MAXC slots; the plain ops
     # they replace stream the whole padded stream (nnz, pads included)
+    head_sel = None  # (hd_rows, hd_cnt, hd_first) of the head tier
     if n_blocks * MAXC > max_pad_ratio * nnz:
-        return None
-    offs = np.arange(MAXC, dtype=np.int64)[None, :]
-    pos = starts[:-1, None] + offs  # (n_blocks, MAXC) positions in seg order
-    valid = offs < counts[:, None]
-    pos = np.where(valid, np.minimum(pos, nnz_k - 1), 0)
-    src = pos if back is None else back[pos]  # positions in ORIGINAL order
-    src = np.where(valid, src, 0).astype(np.int32)
+        if shard_rows or head_chunk <= 0:
+            return None
+        # two-tier split: find the LARGEST per-row count threshold T (fewest
+        # head rows) whose tail layout + chunked head tier fit the budget
+        rowcnt = np.bincount(seg, minlength=num_rows)
+        maxcnt = int(rowcnt.max())
+        T = maxcnt
+        while T >= head_chunk:
+            T //= 2
+            head = rowcnt > T
+            n_head = int(head.sum())
+            if n_head == 0:
+                continue
+            if n_head > (1 << 16):
+                return None  # heavy everywhere — no useful split exists
+            _, bc = block_counts(seg[~head[seg]])
+            maxc_t = max(8, -(-int(bc.max()) // 8) * 8)
+            hd_slots = int(
+                (-(-rowcnt[head] // head_chunk) * head_chunk).sum())
+            if n_blocks * maxc_t + hd_slots <= max_pad_ratio * nnz:
+                hd_rows = np.nonzero(head)[0].astype(np.int64)
+                head_sel = (hd_rows, rowcnt[hd_rows],
+                            np.searchsorted(seg, hd_rows))
+                MAXC = maxc_t
+                break
+        if head_sel is None:
+            return None
+
+    def slots(s, bk, strt, cnts, maxw):
+        offs = np.arange(maxw, dtype=np.int64)[None, :]
+        pos = strt[:, None] + offs  # positions in seg order
+        valid = offs < cnts[:, None]
+        pos = np.where(valid, np.minimum(pos, s.shape[0] - 1), 0)
+        sr = pos if bk is None else bk[pos]  # ORIGINAL stream positions
+        sr = np.where(valid, sr, 0).astype(np.int32)
+        tk = np.where(valid, np.asarray(take_ids)[sr], 0).astype(np.int32)
+        return sr, tk, pos, valid
+
+    if head_sel is not None:
+        hd_rows, hd_cnt, hd_first = head_sel
+        hm = np.zeros(num_rows, bool)
+        hm[hd_rows] = True
+        keep_t = ~hm[seg]
+        seg_t = seg[keep_t]
+        back_t = (np.nonzero(keep_t)[0] if back is None
+                  else back[keep_t]).astype(np.int64)
+        starts_t, counts_t = block_counts(seg_t)
+    else:
+        seg_t, back_t, starts_t, counts_t = seg, back, starts, counts
+    src, take, pos, valid = slots(seg_t, back_t, starts_t[:-1], counts_t,
+                                  MAXC)
     own_local = np.where(
         valid,
-        seg[pos]
+        seg_t[pos]
         - (np.arange(n_blocks, dtype=np.int64) * block_rows)[:, None],
         block_rows,  # pad marker: one-hot row of all zeros
     ).astype(np.int32)
-    take = np.where(valid, np.asarray(take_ids)[src], 0).astype(np.int32)
     # inverse map: ORIGINAL stream position -> flat slot index (kept entries
     # only; dropped entries point at slot 0 — their consumers multiply by the
     # zero pad weight, so the value never matters).  Lets per-entry results
     # computed in slot order (e.g. the residual gap) permute back to stream
     # order with one (nnz,) scalar gather.
+    offs = np.arange(MAXC, dtype=np.int64)[None, :]
     flat = (np.arange(n_blocks, dtype=np.int64)[:, None] * MAXC
             + offs).astype(np.int32)
     inv = np.zeros(nnz, np.int32)
     inv[src[valid]] = flat[valid]
     out = dict(src=src, own=own_local, take=take, inv=inv,
                block_rows=block_rows, maxc=MAXC)
+    if head_sel is not None:
+        # head tier: one chunk row owns head_chunk consecutive entries of
+        # exactly one head row (entries of a row are contiguous — seg is
+        # sorted); per-row padding < one chunk.  Chunk count pads to a
+        # multiple of 8 with all-pad chunks (hd_valid False -> zero weight).
+        nch_r = (-(-hd_cnt // head_chunk)).astype(np.int64)
+        NCH = -(-int(nch_r.sum()) // 8) * 8
+        hd_row = np.full(NCH, hd_rows[0], np.int64)
+        hd_loc = np.zeros(NCH, np.int64)
+        cum = np.cumsum(nch_r) - nch_r
+        fill = np.repeat(np.arange(len(hd_rows)), nch_r)
+        hd_row[: len(fill)] = hd_rows[fill]
+        hd_loc[: len(fill)] = fill
+        chunk_in_row = np.arange(len(fill)) - cum[fill]
+        cstart = np.zeros(NCH, np.int64)
+        cstart[: len(fill)] = hd_first[fill] + chunk_in_row * head_chunk
+        cend = np.zeros(NCH, np.int64)
+        cend[: len(fill)] = hd_first[fill] + hd_cnt[fill]
+        offs_h = np.arange(head_chunk, dtype=np.int64)[None, :]
+        pos_h = cstart[:, None] + offs_h
+        valid_h = pos_h < cend[:, None]
+        pos_h = np.where(valid_h, np.minimum(pos_h, nnz_k - 1), 0)
+        src_h = pos_h if back is None else back[pos_h]
+        src_h = np.where(valid_h, src_h, 0).astype(np.int32)
+        take_h = np.where(valid_h,
+                          np.asarray(take_ids)[src_h], 0).astype(np.int32)
+        flat_h = (n_blocks * MAXC
+                  + np.arange(NCH, dtype=np.int64)[:, None] * head_chunk
+                  + offs_h).astype(np.int32)
+        inv[src_h[valid_h]] = flat_h[valid_h]
+        out.update(hd_src=src_h, hd_take=take_h,
+                   hd_row=hd_row.astype(np.int32),
+                   hd_loc=hd_loc.astype(np.int32), hd_valid=valid_h,
+                   hd_rows=hd_rows.astype(np.int64), chunk=head_chunk)
     if shard_rows:
         if needed_sort:
             return None  # shard-local src needs the seg-sorted stream
@@ -766,6 +864,105 @@ def expand_rows_blocked(vec: Array, own: Array, block_rows: int) -> Array:
 
     return jax.lax.fori_loop(0, n_groups, outer,
                              jnp.zeros(n_blocks * MAXC, dt))
+
+
+# ---------------------------------------------------------------------------
+# Head-tier ops (the two-tier skew layout's chunked dense path)
+# ---------------------------------------------------------------------------
+#
+# Every positive pass is LINEAR over stream entries, so the two-tier split is
+# exact: the tail tier runs the ordinary blocked/kt/fused kernels (with head
+# entries dropped) and these ops add the head entries' contributions.  A head
+# chunk owns head_chunk consecutive entries of exactly ONE power row, so the
+# per-row segment structure degenerates to dense per-chunk reductions
+# (batched matvecs XLA streams at HBM bandwidth) followed by a scatter-add
+# over the FEW chunks — the O(num_rows) scatter that motivated the blocked
+# layout never reappears.  The per-row dense terms (omega Grams, the Jacobi
+# omega diag) are NOT duplicated here: the tail layout still spans the full
+# row space, so its passes carry them for head rows too.
+# Reference analog: the load-balanced hot loops (schedule(guided),
+# ffm.cpp:572) — the TPU answer to a power row is a dense chunked stream,
+# not dynamic scheduling.
+
+
+def head_chunk_sums(c_hd: Array, rows_hd: Array) -> Array:
+    """Per-chunk weighted row sums: out[c] = sum_t c_hd[c,t] * rows_hd[c,t]
+    — (NCH, CHUNK) x k-major (NCH, k, CHUNK) -> (NCH, k), f32+
+    accumulation.  The head stream is stored k-major
+    (gather_blocked_rows_t) so CHUNK rides the 128-lane axis: no lane
+    padding at k < 128, same as the kt kernels' stream."""
+    acc_t = jnp.promote_types(rows_hd.dtype, jnp.float32)
+    z = jnp.einsum("nc,nkc->nk", _up(c_hd, acc_t), _up(rows_hd, acc_t),
+                   preferred_element_type=acc_t)
+    return z.astype(rows_hd.dtype)
+
+
+def head_pq(phig: Array, rows_hd: Array) -> Array:
+    """Per-entry inner products <phig[c], rows_hd[c,:,t]> -> (NCH, CHUNK):
+    the head form of the positive pass's phi-row dot (pad entries are
+    masked by the caller's weight multiply)."""
+    acc_t = jnp.promote_types(rows_hd.dtype, jnp.float32)
+    pq = jnp.einsum("nk,nkc->nc", _up(phig, acc_t), _up(rows_hd, acc_t),
+                    preferred_element_type=acc_t)
+    return pq.astype(rows_hd.dtype)
+
+
+def head_seg_sum(c_hd: Array, hd_row: Array, num_rows: int) -> Array:
+    """Per-row sums of head slot values: (NCH, CHUNK) -> (num_rows,) via
+    chunk reductions + an (NCH,)-row scatter-add (pad slots carry weight 0,
+    pad chunks scatter zeros)."""
+    acc_t = jnp.promote_types(c_hd.dtype, jnp.float32)
+    s = jnp.sum(c_hd.astype(acc_t), axis=1)
+    return jnp.zeros(num_rows, acc_t).at[hd_row].add(s).astype(c_hd.dtype)
+
+
+def head_scatter(c_hd: Array, rows_hd: Array, hd_row: Array, num_out: int,
+                 diag_w_hd: Array | None = None):
+    """Head form of pos_scatter_blocked: out[r] += sum over r's head
+    entries of c * B_row (plus the Jacobi diag's squared-row payload when
+    ``diag_w_hd`` is given)."""
+    k = rows_hd.shape[1]
+    dt = rows_hd.dtype
+    z = head_chunk_sums(c_hd, rows_hd)
+    out = jnp.zeros((num_out, k), dt).at[hd_row].add(z)
+    if diag_w_hd is None:
+        return out
+    q = head_chunk_sums(diag_w_hd, rows_hd * rows_hd)
+    return out, jnp.zeros((num_out, k), dt).at[hd_row].add(q)
+
+
+def head_hv(phi: Array, rows_hd: Array, w_hd: Array, hd_row: Array,
+            num_out: int, w_scale: float = 1.0) -> Array:
+    """Head form of the per-CG-iteration positive pass: zp[r] += sum over
+    r's head entries of w <phi_r, B_t> B_t.  The dense omega term is NOT
+    added (the tail pass covers all rows)."""
+    dt = rows_hd.dtype
+    phig = phi[hd_row]
+    c = head_pq(phig, rows_hd) * (w_hd * jnp.asarray(w_scale, dt))
+    z = head_chunk_sums(c, rows_hd)
+    return jnp.zeros((num_out, rows_hd.shape[1]), dt).at[hd_row].add(z)
+
+
+def head_project(V: Array, xh_idx: Array, xh_val: Array) -> Array:
+    """phi restricted to the head rows: (NH, p) field data x (D, k) table
+    -> (NH, k).  The head-row count is tiny, so the random table gather is
+    negligible — this is what lets the FUSED table kernels (which never
+    materialize phi) take head adjustments in table space."""
+    acc_t = jnp.promote_types(V.dtype, jnp.float32)
+    z = jnp.einsum("np,npk->nk", _up(xh_val, acc_t), _up(V[xh_idx], acc_t),
+                   preferred_element_type=acc_t)
+    return z.astype(V.dtype)
+
+
+def head_tbl_scatter(z: Array, xh_idx: Array, xh_val: Array,
+                     d: int) -> Array:
+    """X_head^T @ z: scatter the head rows' (NH, k) payload into table
+    space (d, k) through the head rows' field entries — NH*p adds."""
+    acc_t = jnp.promote_types(z.dtype, jnp.float32)
+    contrib = (xh_val.astype(acc_t)[..., None]
+               * z.astype(acc_t)[:, None, :])  # (NH, p, k)
+    out = jnp.zeros((d, z.shape[1]), acc_t).at[xh_idx].add(contrib)
+    return out.astype(z.dtype)
 
 
 def pos_hv_blocked(phi: Array, B: Array, w: Array, take: Array, src: Array,
@@ -1516,25 +1713,51 @@ def grad_cross_tbl_kt_pallas(d: int, x_idx_t: Array, x_val_t: Array,
     return res[0][:, :d].T
 
 
-def _gap_kt_kernel(rows_ref, own_ref, dT_ref, out_ref):
+def _gap_kt_kernel(G: int, block_rows: int, rows_ref, own_ref, dT_ref,
+                   out_ref):
     """k-major blocked residual gap: gap (1, MAXC) per block, flat slot
-    order (the OCFFM_BLK_YT consumer)."""
+    order (the OCFFM_BLK_YT consumer).  ``G`` blocks per grid step with a
+    statically unrolled inner loop — the per-block work is tiny ((k, MAXC)
+    read, (1, MAXC) write), so one-block grid steps are pipeline-latency-
+    bound (VERDICT r3 #8); batching amortizes the step overhead without
+    changing any math (each sub-block's arithmetic is identical)."""
     from jax.experimental import pallas as pl  # noqa: F401
 
     dt = rows_ref.dtype
     acc_t = jnp.promote_types(dt, jnp.float32)
-    rows_t = rows_ref[0]
-    k, MAXC = rows_t.shape
-    dTb = dT_ref[...]                                      # (BM, k)
-    BM = dTb.shape[0]
-    ohm = _ohm_t(own_ref, BM, MAXC, dt)
-    phig_t = _dotp(dTb.T, ohm, acc_t).astype(dt)           # (k, MAXC)
-    gap = jnp.sum((phig_t * rows_t).astype(acc_t), axis=0,
-                  keepdims=True)                           # (1, MAXC)
-    # out arrives as a (1, 1, MAXC) block (Mosaic wants the last two block
-    # dims tile-divisible OR spanning the full array dims — a (1, MAXC)
-    # slice of (n_blocks, MAXC) is neither, cf. the own/w input trick)
-    out_ref[...] = gap.astype(dt)[None]
+    for j in range(G):
+        rows_t = rows_ref[j]
+        k, MAXC = rows_t.shape
+        dTb = dT_ref[j * block_rows:(j + 1) * block_rows, :]  # (BM, k)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (block_rows, MAXC), 0)
+        ohm = (own_ref[j] == iota).astype(dt)                 # (BM, MAXC)
+        phig_t = _dotp(dTb.T, ohm, acc_t).astype(dt)          # (k, MAXC)
+        gap = jnp.sum((phig_t * rows_t).astype(acc_t), axis=0,
+                      keepdims=True)                          # (1, MAXC)
+        # out arrives as a (G, 1, MAXC) block (Mosaic wants the last two
+        # block dims tile-divisible OR spanning the full array dims — a
+        # (1, MAXC) slice of (n_blocks, MAXC) is neither, cf. the own/w
+        # input trick)
+        out_ref[j, :, :] = gap.astype(dt)
+
+
+def _gap_group(n_blocks: int, k: int, maxc: int, block_rows: int,
+               itemsize: int) -> int:
+    """Blocks per gap grid step: the largest divisor of n_blocks whose
+    per-step VMEM (stream + own + out, double-buffered, + the dT block)
+    stays under ~6MB, capped at 16.  OCFFM_BLK_GAP_G overrides (must
+    divide n_blocks; 1 = the round-3 one-block form)."""
+    env = os.environ.get("OCFFM_BLK_GAP_G", "auto").lower()
+    if env not in ("", "auto"):
+        g = max(1, int(env))
+        return g if n_blocks % g == 0 else 1
+    per = (max(8, k) + 2) * maxc * itemsize * 2 + block_rows * max(8, k) * 4
+    cap = max(1, min(16, (6 << 20) // max(per, 1)))
+    g = 1
+    for c in range(1, cap + 1):
+        if n_blocks % c == 0:
+            g = c
+    return g
 
 
 def pos_gap_kt_pallas(dT: Array, rows_t: Array, own: Array,
@@ -1546,15 +1769,17 @@ def pos_gap_kt_pallas(dT: Array, rows_t: Array, own: Array,
 
     n_blocks, k, MAXC = rows_t.shape
     dt = rows_t.dtype
+    G = _gap_group(n_blocks, k, MAXC, block_rows, jnp.dtype(dt).itemsize)
+    kern = functools.partial(_gap_kt_kernel, G, block_rows)
     out = pl.pallas_call(
-        _gap_kt_kernel,
-        grid=(n_blocks,),
+        kern,
+        grid=(n_blocks // G,),
         in_specs=[
-            pl.BlockSpec((1, k, MAXC), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
-            pl.BlockSpec((block_rows, k), lambda i: (i, 0)),
+            pl.BlockSpec((G, k, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((G, 1, MAXC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((G * block_rows, k), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, MAXC), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((G, 1, MAXC), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_blocks, 1, MAXC), dt),
         interpret=interpret,
     )(rows_t, own.reshape(n_blocks, 1, MAXC), dT)

@@ -161,6 +161,11 @@ def make_device_data(
         # head-heavy catalogs may profit from a larger budget (A/B knob).
         ratio = float(_os0.environ.get("OCFFM_BLK_PAD_RATIO", 2.0))
         pads = np.asarray(y.w) == 0  # zero-weight entries occupy no slots
+        # OCFFM_HEAD_CHUNK: chunk width of the two-tier skew layout's head
+        # tier (0 disables the split — skewed sides then reject outright as
+        # in round 3).  Mesh runs keep single-tier layouts: the head ops
+        # are not shard_map-local (ROADMAP).
+        head_chunk = int(_os0.environ.get("OCFFM_HEAD_CHUNK", 512))
         if blocked_shards > 1:
             blk = make_blocked_layout(
                 y.u, y.v, u.m, blocked_bm, max_pad_ratio=ratio,
@@ -175,12 +180,15 @@ def make_device_data(
             if (blk is not None
                     and (v.m // blocked_shards) % blocked_bm == 0):
                 blk_v = make_blocked_layout(y.v, y.u, v.m, blocked_bm,
-                                            max_pad_ratio=ratio, drop=pads)
+                                            max_pad_ratio=ratio, drop=pads,
+                                            head_chunk=0)
         else:
             blk = make_blocked_layout(y.u, y.v, u.m, blocked_bm,
-                                      max_pad_ratio=ratio, drop=pads)
+                                      max_pad_ratio=ratio, drop=pads,
+                                      head_chunk=head_chunk)
             blk_v = make_blocked_layout(y.v, y.u, v.m, blocked_bm,
-                                        max_pad_ratio=ratio, drop=pads)
+                                        max_pad_ratio=ratio, drop=pads,
+                                        head_chunk=head_chunk)
 
     meta = ProblemMeta(
         layout=layout,
@@ -275,10 +283,10 @@ def make_device_data(
 
     data["xt_u"] = xt(u, meta.ident_u)
     data["xt_v"] = xt(v, meta.ident_v)
-    if blk is not None:
-        data["blk_u_take"] = jnp.asarray(blk["take"])
-        data["blk_u_src"] = jnp.asarray(blk["src"])
-        data["blk_u_own"] = jnp.asarray(blk["own"])
+    def upload_blk(pre: str, b: dict, src_abs_key: bool):
+        data[pre + "take"] = jnp.asarray(b["take"])
+        data[pre + "src"] = jnp.asarray(b["src"])
+        data[pre + "own"] = jnp.asarray(b["own"])
         # pre-permuted pad-mask weights: pos_w is static, so the per-CG-
         # iteration random scalar gather w[src] is paid once, here.
         # Masked to exactly 0 at structural pad slots (own == BM) — every
@@ -286,22 +294,49 @@ def make_device_data(
         # row, and the mask makes the array double as the slot-order pad
         # mask for the residual carry (OCFFM_BLK_YT).
         # (src_abs: the shard-local layout's src is slice-relative)
-        data["blk_u_w"] = jnp.asarray(
-            y.w[blk.get("src_abs", blk["src"])]
-            * (blk["own"] < blk["block_rows"]), dtype)
-        data["blk_u_inv"] = jnp.asarray(blk["inv"])
-        if "src_abs" in blk:
+        data[pre + "w"] = jnp.asarray(
+            y.w[b.get("src_abs", b["src"])]
+            * (b["own"] < b["block_rows"]), dtype)
+        data[pre + "inv"] = jnp.asarray(b["inv"])
+        if src_abs_key and "src_abs" in b:
             # GLOBAL stream positions of the u slots (src is shard-local):
             # consumed by refresh_caches (stream yt -> slot carry) and the
             # cross-order maps; never read inside the hot passes.
-            data["blk_u_srcg"] = jnp.asarray(blk["src_abs"])
+            data[pre + "srcg"] = jnp.asarray(b["src_abs"])
+        if "hd_row" in b:
+            # two-tier head tier (skewed side): chunked slots of the power
+            # rows' entries (see ops.make_blocked_layout head_chunk)
+            data[pre + "hd_take"] = jnp.asarray(b["hd_take"])
+            data[pre + "hd_src"] = jnp.asarray(b["hd_src"])
+            data[pre + "hd_row"] = jnp.asarray(b["hd_row"])
+            data[pre + "hd_loc"] = jnp.asarray(b["hd_loc"])
+            data[pre + "hd_w"] = jnp.asarray(
+                y.w[b["hd_src"]] * b["hd_valid"], dtype)
+
+    if blk is not None:
+        upload_blk("blk_u_", blk, True)
     if blk_v is not None:
-        data["blk_v_take"] = jnp.asarray(blk_v["take"])
-        data["blk_v_src"] = jnp.asarray(blk_v["src"])
-        data["blk_v_own"] = jnp.asarray(blk_v["own"])
-        data["blk_v_w"] = jnp.asarray(
-            y.w[blk_v["src"]] * (blk_v["own"] < blk_v["block_rows"]), dtype)
-        data["blk_v_inv"] = jnp.asarray(blk_v["inv"])
+        upload_blk("blk_v_", blk_v, False)
+
+    def xh(pf: PaddedFields, idents, b) -> tuple:
+        # head rows' per-field data, UNtransposed (NH, p) — the fused table
+        # kernels' head adjustments project/scatter through these tiny
+        # arrays (ops.head_project / head_tbl_scatter).  Same eligibility
+        # filter as the xt copies.
+        if b is None or "hd_rows" not in b:
+            return (None,) * pf.f
+        rows = b["hd_rows"]
+        out = []
+        for fi in range(pf.f):
+            if _fused_field(fi, pf, idents):
+                out.append((jnp.asarray(pf.idx[fi][rows]),
+                            jnp.asarray(pf.val[fi][rows], dtype)))
+            else:
+                out.append(None)
+        return tuple(out)
+
+    data["xh_u"] = xh(u, meta.ident_u, blk)
+    data["xh_v"] = xh(v, meta.ident_v, blk_v)
     import os as _os
     if (blk is not None and blk_v is not None
             and _os.environ.get("OCFFM_BLK_YT", "auto").lower()
@@ -314,10 +349,17 @@ def make_device_data(
         # (pad slots land anywhere; the blk_*_w mask kills them).  Skipped
         # when the carry is env-disabled (the solver gate keys on presence).
         # (inv maps are keyed by GLOBAL stream position, so the u side
-        # indexes with src_abs when its src is shard-local.)
+        # indexes with src_abs when its src is shard-local.  Two-tier
+        # sides: inv maps into the CONCATENATED flat slot space — tail
+        # slots first, head slots after — and each tier of the receiving
+        # side gets its own map.)
         data["blk_u_from_v"] = jnp.asarray(
             blk_v["inv"][blk.get("src_abs", blk["src"])])
         data["blk_v_from_u"] = jnp.asarray(blk["inv"][blk_v["src"]])
+        if "hd_row" in blk:
+            data["blk_u_hd_from_v"] = jnp.asarray(blk_v["inv"][blk["hd_src"]])
+        if "hd_row" in blk_v:
+            data["blk_v_hd_from_u"] = jnp.asarray(blk["inv"][blk_v["hd_src"]])
     return meta, data
 
 
@@ -340,6 +382,13 @@ from ..ops.sparse_ops import (  # noqa: E402
     grad_cross_tbl_pallas,
     grad_self_tbl_kt_pallas,
     grad_self_tbl_pallas,
+    head_chunk_sums,
+    head_hv,
+    head_pq,
+    head_project,
+    head_scatter,
+    head_seg_sum,
+    head_tbl_scatter,
     hv_self_tbl_kt_pallas,
     hv_self_tbl_pallas,
     pos_dot,
@@ -568,6 +617,13 @@ class FFMSolver:
             lanes = (_kt_sublanes(meta.hp.k, meta.dtype) if kt_side
                      else -(-meta.hp.k // 128) * 128)
             nbytes = nb * maxc * lanes * jnp.dtype(meta.dtype).itemsize
+            # the head tier's k-major stream is gathered alongside —
+            # count it against the same cap
+            hd_key = take_key.replace("take", "hd_take")
+            if hd_key in data:
+                nch, chunk = data[hd_key].shape
+                nbytes += (nch * chunk * jnp.dtype(meta.dtype).itemsize
+                           * _kt_sublanes(meta.hp.k, meta.dtype))
             return b_rows >= min_rows and nbytes <= cap
 
         self.pregather_u = pregather_ok(
@@ -710,6 +766,19 @@ class FFMSolver:
         self.blk_u_on = bool(meta.blocked_bm_u)
         self.blk_v_on = bool(meta.blocked_bm_v) and (
             meta.blocked_shards == 1 or self.blk_yt)
+        # two-tier head tiers (skew split, single-shard only): whenever a
+        # side's TAIL blocked arrays are consumed, its head contributions
+        # must be added too — the tail layout was built with the head
+        # entries dropped (ops.make_blocked_layout head_chunk)
+        self.hd_u = "blk_u_hd_row" in data
+        self.hd_v = "blk_v_hd_row" in data
+        if self._gate_log and (self.hd_u or self.hd_v):
+            for side, on in (("u", self.hd_u), ("v", self.hd_v)):
+                if on:
+                    t = data[f"blk_{side}_hd_take"]
+                    print(f"[ocffm gates] head tier {side}: "
+                          f"{t.shape[0]} chunks x {t.shape[1]} "
+                          f"(tail maxc {data['blk_' + side + '_own'].shape[1]})")
         # residual array to sync/inspect on (bench, profiling scripts)
         self.yt_key = "yt_u" if self.blk_yt else "yt"
         # donate the carried state: P/Q/a/b/yt buffers are dead after the
@@ -738,6 +807,33 @@ class FFMSolver:
         if fg < self.meta.layout.fu:
             return self.data["colsq_u"][fl]
         return self.data["colsq_v"][fl]
+
+    def _side_xh(self, b: BlockInfo, first: bool):
+        """(xh_idx, xh_val) — the HEAD rows' field data for this block
+        side, or None (no head tier / field not fused-eligible)."""
+        fg = b.f1 if first else b.f2
+        fl = b.fi if first else b.fj
+        xhs = self.data.get("xh_u" if fg < self.meta.layout.fu else "xh_v")
+        return xhs[fl] if xhs else None
+
+    def _hd_side(self, u_side: bool) -> bool:
+        """Head tier present on the u (True) / v (False) segment side."""
+        return self.hd_u if u_side else self.hd_v
+
+    def _hd_coeff(self, state, u_side: bool) -> Array:
+        """Gradient coefficients on the head tier's slots (NCH, CHUNK) —
+        elementwise on the carried head residual, or a stream-order scalar
+        gather outside the carry mode (mirrors the tail's c[src])."""
+        pre = "blk_u_hd_" if u_side else "blk_v_hd_"
+        d = self.data
+        if self.blk_yt:
+            yt_hd = state["yt_u_hd" if u_side else "yt_v_hd"]
+            return self._pos_coeff(yt_hd) * d[pre + "w"]
+        c = self._pos_coeff(state["yt"]) * d["pos_w"]
+        # pad slots gather position 0 (a REAL entry) — unlike the tail there
+        # is no all-zero one-hot row to kill them, so mask via the head
+        # weights (w is the 1/0 pad mask; idempotent on real entries)
+        return c[d[pre + "src"]] * d[pre + "w"]
 
     def _side_ident(self, b: BlockInfo, first: bool):
         """(is_identity, padded_rows, true_rows) for the block side."""
@@ -840,13 +936,18 @@ class FFMSolver:
         # blocked layout (one-time gathers; epochs then never touch stream
         # order).  The blk_*_w multiply zeroes structural pad slots.
         d = self.data
-        return dict(
+        out = dict(
             params=params, P=P, Q=Q, a=a, b=b_vec,
             # srcg: global stream positions (the sharded u layout's src is
             # shard-local); a one-time gather, never in the hot passes
             yt_u=yt[d.get("blk_u_srcg", d["blk_u_src"])] * d["blk_u_w"],
             yt_v=yt[d["blk_v_src"]] * d["blk_v_w"],
         )
+        if self.hd_u:
+            out["yt_u_hd"] = yt[d["blk_u_hd_src"]] * d["blk_u_hd_w"]
+        if self.hd_v:
+            out["yt_v_hd"] = yt[d["blk_v_hd_src"]] * d["blk_v_hd_w"]
+        return out
 
     def yt_stream(self, state) -> Array:
         """The positive-stream residual in ORIGINAL stream order, pad-masked
@@ -855,7 +956,11 @@ class FFMSolver:
         d = self.data
         if "yt" in state:
             return state["yt"] * d["pos_w"]
-        return state["yt_u"].reshape(-1)[d["blk_u_inv"]] * d["pos_w"]
+        flat = state["yt_u"].reshape(-1)
+        if self.hd_u:
+            # two-tier: inv maps into the concatenated (tail, head) space
+            flat = jnp.concatenate([flat, state["yt_u_hd"].reshape(-1)])
+        return flat[d["blk_u_inv"]] * d["pos_w"]
 
     def _side_sums(self, P, Q) -> Tuple[Array, Array]:
         """a_i / b_j self-interaction sums (calc_side, ffm.cpp:360-373)."""
@@ -938,6 +1043,12 @@ class FFMSolver:
                 c_blk = c[d[pre + "src"]]
             zdense = (hp.omega * (n_other * (side - hp.r) + other_sum
                                   + s_cache)).astype(meta.dtype)
+            if self._hd_side(b.kind == "uu"):
+                # head entries are absent from the tail slots; their per-row
+                # positive sums ride the dense z term into the fused kernel
+                zdense = zdense + head_seg_sum(
+                    self._hd_coeff(state, b.kind == "uu"),
+                    d[pre + "hd_row"], num).astype(meta.dtype)
             dd2 = None
             if want_diag and self.cg_precond == "jacobi":
                 dd2 = ((1.0 - hp.omega) * cnt
@@ -1016,6 +1127,10 @@ class FFMSolver:
                     cb, d[pre + "own"], num,
                     meta.blocked_bm_u if b.kind == "uu"
                     else meta.blocked_bm_v)
+                if self._hd_side(b.kind == "uu"):
+                    zpos = zpos + head_seg_sum(
+                        self._hd_coeff(state, b.kind == "uu"),
+                        d[pre + "hd_row"], num)
         else:
             c = self._pos_coeff(state["yt"]) * d["pos_w"]
             zpos = jax.ops.segment_sum(
@@ -1201,7 +1316,7 @@ class FFMSolver:
 
     def _grad_cross(self, state, b: BlockInfo, first: bool,
                     with_diag_pos: bool = False, rows_pre=None,
-                    kt: bool = False):
+                    kt: bool = False, rows_hd=None):
         """Gradient for one table of a cross block (gd_cross, ffm.cpp:630-703).
 
         omega part via k x k Grams: T = sum_c P_c (Q_c^T Q1), oQ = Q1^T 1,
@@ -1227,6 +1342,28 @@ class FFMSolver:
         else:
             c = self._pos_coeff(state["yt"]) * d["pos_w"]
             c_blk = None
+
+        def hd_tbl(Gt, Qt=None):
+            """Head-tier additions in TABLE space for the fused gradient:
+            chunk sums -> per-head-row payload -> X_head^T scatter (the
+            tail kernel never saw the head entries)."""
+            if rows_hd is None:
+                return Gt, Qt
+            pre_h = "blk_u_hd_" if first else "blk_v_hd_"
+            xh_i, xh_v = self._side_xh(b, first)
+            loc = d[pre_h + "loc"]
+            z_c = head_chunk_sums(self._hd_coeff(state, first), rows_hd)
+            z_hd = jnp.zeros((xh_i.shape[0], z_c.shape[1]),
+                             z_c.dtype).at[loc].add(z_c)
+            Gt = Gt + head_tbl_scatter(z_hd, xh_i, xh_v, T.shape[0])
+            if Qt is not None:
+                wq_hd = (1.0 - hp.omega) * d[pre_h + "w"]
+                q_c = head_chunk_sums(wq_hd, rows_hd * rows_hd)
+                q_hd = jnp.zeros_like(z_hd).at[loc].add(q_c)
+                # the Hessian diag scatters through X^2, not X
+                Qt = Qt + head_tbl_scatter(q_hd, xh_i, xh_v * xh_v,
+                                           T.shape[0])
+            return Gt, Qt
 
         def fused_grad(pre, dense):
             """Fused table-space gradient (+ Jacobi diag) when the table
@@ -1261,6 +1398,7 @@ class FFMSolver:
                         T.shape[0], xi, xv, rows_pre, d[pre + "own"], cb,
                         dense, bm, w_blk=d[pre + "w"],
                         wq_scale=(1.0 - hp.omega), interpret=interp)
+                Gt, Qt = hd_tbl(Gt, Qt)
                 B1 = state["Q"][f12] if first else state["P"][f12]
                 qtq_d = jnp.sum(B1 * B1, axis=0)  # pad rows are zero
                 colsq = self._side_colsq(b, first)
@@ -1283,6 +1421,7 @@ class FFMSolver:
                 Gt = kern(
                     T.shape[0], xi, xv, rows_pre, d[pre + "own"], cb,
                     dense, bm, interpret=interp)
+            Gt, _ = hd_tbl(Gt)
             return hp.lam * reg[:, None] * T + Gt.astype(meta.dtype)
 
         def kt_scatter(pre, num, bm):
@@ -1295,6 +1434,19 @@ class FFMSolver:
                 cb, rows_pre, d[pre + "own"], num, bm, w_blk=wq,
                 interpret=self.kt_interpret)
             return res if with_diag_pos else (res, None)
+
+        def hd_rowspace(zpos, posq, num, pre_h):
+            """Head-tier additions in ROW space for the blocked (non-fused)
+            gradient branches — the tail pass dropped the head entries."""
+            if rows_hd is None:
+                return zpos, posq
+            wq_hd = ((1.0 - hp.omega) * d[pre_h + "w"]
+                     if with_diag_pos else None)
+            res_h = head_scatter(self._hd_coeff(state, first), rows_hd,
+                                 d[pre_h + "row"], num, diag_w_hd=wq_hd)
+            if with_diag_pos:
+                return zpos + res_h[0], posq + res_h[1]
+            return zpos + res_h, posq
 
         if first:
             Q1 = state["Q"][f12]  # (n, k)
@@ -1336,6 +1488,7 @@ class FFMSolver:
                         d["blk_u_own"], meta.m, meta.blocked_bm_u,
                         diag_w_blk=wq_blk, rows=rows_pre, coeff_blk=c_blk)
                     zpos, posq = res if with_diag_pos else (res, None)
+                zpos, posq = hd_rowspace(zpos, posq, meta.m, "blk_u_hd_")
             elif with_diag_pos:
                 assert c is not None, "slot carry requires the blocked path"
                 wq = (1.0 - hp.omega) * d["pos_w"]
@@ -1377,6 +1530,7 @@ class FFMSolver:
                         d["blk_v_own"], meta.n, meta.blocked_bm_v,
                         diag_w_blk=wq_blk, rows=rows_pre, coeff_blk=c_blk)
                     zpos, posq = res if with_diag_pos else (res, None)
+                zpos, posq = hd_rowspace(zpos, posq, meta.n, "blk_v_hd_")
             elif with_diag_pos:
                 assert c is not None, "slot carry requires the blocked path"
                 wq = (1.0 - hp.omega) * d["pos_w"]
@@ -1527,7 +1681,7 @@ class FFMSolver:
         return hv
 
     def _hv_cross(self, state, b: BlockInfo, first: bool, rows_pre=None,
-                  kt: bool = False):
+                  kt: bool = False, rows_hd=None):
         """Hv closure for a cross-block table (hs_cross, ffm.cpp:706-742):
         omega part via precomputed Q1^T Q1 (ffm.cpp:767-771); (1-w) part per
         positive."""
@@ -1588,6 +1742,20 @@ class FFMSolver:
                         G = kern(
                             V, xi, xv, rows_pre, d[pre + "own"], w_blk,
                             dmat, bm, w_scale=w_scale, interpret=interp)
+                    if rows_hd is not None:
+                        # head tier in TABLE space: project the head rows
+                        # only, positive chunk sums, X_head^T back — the
+                        # dense omega term already covers head rows via
+                        # the kernel's own pass
+                        xh_i, xh_v = self._side_xh(b, first)
+                        loc = d[pre + "hd_loc"]
+                        phi_hd = head_project(V, xh_i, xh_v)  # (NH, k)
+                        cq = head_pq(phi_hd[loc], rows_hd) * (
+                            d[pre + "hd_w"]
+                            * jnp.asarray(w_scale, meta.dtype))
+                        z_c = head_chunk_sums(cq, rows_hd)
+                        z_hd = jnp.zeros_like(phi_hd).at[loc].add(z_c)
+                        G = G + head_tbl_scatter(z_hd, xh_i, xh_v, dim)
                     return hp.lam * reg[:, None] * V + G.astype(V.dtype)
 
                 return hv_tbl
@@ -1605,6 +1773,10 @@ class FFMSolver:
                             phi, rows_pre, d[pre + "own"], w_blk, dmat,
                             num, blk_bm, w_scale=w_scale,
                             interpret=self.kt_interpret)
+                    if rows_hd is not None:
+                        zp = zp + head_hv(
+                            phi, rows_hd, d[pre + "hd_w"],
+                            d[pre + "hd_row"], num, w_scale=w_scale)
                     return hp.lam * reg[:, None] * V + self._scat(
                         b, first, zp, dim)
 
@@ -1624,6 +1796,10 @@ class FFMSolver:
                         phi, Q1, w_hv, d[pre + "take"], d[pre + "src"],
                         d[pre + "own"], num, blk_bm, rows=rows_pre,
                         w_blk=w_blk, w_scale=w_scale, dense_mat=dmat)
+                if rows_hd is not None:
+                    zp = zp + head_hv(
+                        phi, rows_hd, d[pre + "hd_w"],
+                        d[pre + "hd_row"], num, w_scale=w_scale)
                 return hp.lam * reg[:, None] * V + self._scat(
                     b, first, zp, dim)
 
@@ -1752,7 +1928,7 @@ class FFMSolver:
     # -- block updates (incremental cache refresh) ----------------------------
 
     def _apply_step(self, state, b: BlockInfo, first: bool, S: Array,
-                    rows_pre=None, kt: bool = False):
+                    rows_pre=None, kt: bool = False, rows_hd=None):
         """Apply the Newton step and refresh P/Q, a/b, yt functionally
         (update_side ffm.cpp:405-437, update_cross ffm.cpp:439-465).
 
@@ -1795,6 +1971,15 @@ class FFMSolver:
                     state["yt_u"].shape)
                 state["yt_v"] = state["yt_v"] + da[d["blk_v_take"]] \
                     * d["blk_v_w"]
+                # head tiers: da per slot is a broadcast on the own side
+                # (chunk -> its row) and a scalar gather through hd_take
+                # (= pos_u in head slot order) on the other side
+                if self.hd_u:
+                    state["yt_u_hd"] = state["yt_u_hd"] \
+                        + da[d["blk_u_hd_row"]][:, None] * d["blk_u_hd_w"]
+                if self.hd_v:
+                    state["yt_v_hd"] = state["yt_v_hd"] \
+                        + da[d["blk_v_hd_take"]] * d["blk_v_hd_w"]
             else:
                 state["yt"] = state["yt"] + da[d["pos_u"]]
         elif b.kind == "vv":
@@ -1808,6 +1993,12 @@ class FFMSolver:
                     state["yt_v"].shape)
                 state["yt_u"] = state["yt_u"] + db[d["blk_u_take"]] \
                     * d["blk_u_w"]
+                if self.hd_v:
+                    state["yt_v_hd"] = state["yt_v_hd"] \
+                        + db[d["blk_v_hd_row"]][:, None] * d["blk_v_hd_w"]
+                if self.hd_u:
+                    state["yt_u_hd"] = state["yt_u_hd"] \
+                        + db[d["blk_u_hd_take"]] * d["blk_u_hd_w"]
             else:
                 state["yt"] = state["yt"] + db[d["pos_v"]]
         else:
@@ -1827,27 +2018,55 @@ class FFMSolver:
                 else:
                     gap_flat = pos_gap_blocked(dP, rows_pre, d[pre + "own"],
                                                None, bm)
+                gap_hd = None
+                if rows_hd is not None:
+                    # head gap in head slot order; the cross-order maps
+                    # index the CONCATENATED (tail, head) flat space
+                    gap_hd = head_pq(dP[d[pre + "hd_row"]], rows_hd)
+                gap_cat = (jnp.concatenate([gap_flat, gap_hd.reshape(-1)])
+                           if gap_hd is not None else gap_flat)
                 if first:
                     state["yt_u"] = state["yt_u"] + gap_flat.reshape(
                         state["yt_u"].shape) * d["blk_u_w"]
+                    if gap_hd is not None:
+                        state["yt_u_hd"] = state["yt_u_hd"] \
+                            + gap_hd * d["blk_u_hd_w"]
                     state["yt_v"] = state["yt_v"] \
-                        + gap_flat[d["blk_v_from_u"]] * d["blk_v_w"]
+                        + gap_cat[d["blk_v_from_u"]] * d["blk_v_w"]
+                    if self.hd_v:
+                        state["yt_v_hd"] = state["yt_v_hd"] \
+                            + gap_cat[d["blk_v_hd_from_u"]] \
+                            * d["blk_v_hd_w"]
                 else:
                     state["yt_v"] = state["yt_v"] + gap_flat.reshape(
                         state["yt_v"].shape) * d["blk_v_w"]
+                    if gap_hd is not None:
+                        state["yt_v_hd"] = state["yt_v_hd"] \
+                            + gap_hd * d["blk_v_hd_w"]
                     state["yt_u"] = state["yt_u"] \
-                        + gap_flat[d["blk_u_from_v"]] * d["blk_u_w"]
+                        + gap_cat[d["blk_u_from_v"]] * d["blk_u_w"]
+                    if self.hd_u:
+                        state["yt_u_hd"] = state["yt_u_hd"] \
+                            + gap_cat[d["blk_u_hd_from_v"]] \
+                            * d["blk_u_hd_w"]
                 return state
             if rows_pre is not None and self.blk_gap:
                 pre = "blk_u_" if first else "blk_v_"
                 bm = meta.blocked_bm_u if first else meta.blocked_bm_v
                 if kt:
-                    gap = pos_gap_kt_pallas(
+                    flatg = pos_gap_kt_pallas(
                         dP, rows_pre, d[pre + "own"], bm,
-                        interpret=self.kt_interpret)[d[pre + "inv"]]
+                        interpret=self.kt_interpret)
                 else:
-                    gap = pos_gap_blocked(dP, rows_pre, d[pre + "own"],
-                                          d[pre + "inv"], bm)
+                    flatg = pos_gap_blocked(dP, rows_pre, d[pre + "own"],
+                                            None, bm)
+                if rows_hd is not None:
+                    # inv maps two-tier sides into the concatenated space
+                    flatg = jnp.concatenate([
+                        flatg,
+                        head_pq(dP[d[pre + "hd_row"]],
+                                rows_hd).reshape(-1)])
+                gap = flatg[d[pre + "inv"]]
             else:
                 own_ids = d["pos_u"] if first else d["pos_v"]
                 oth_ids = d["pos_v"] if first else d["pos_u"]
@@ -1861,12 +2080,20 @@ class FFMSolver:
         jac = self.cg_precond == "jacobi"
         posq = None
         kt = False
+        rows_hd = None
         if b.kind == "uv":
             # B (= Q1) is constant for the whole solve: pre-gather its
             # blocked stream once; the gradient and every CG iteration then
             # stream it sequentially instead of re-gathering randomly.
             rows_pre = None
             kt = self._kt_solve_ok(b, first)
+            if self._hd_side(first):
+                # the head tier's k-major stream is always pre-gathered
+                # (its slot budget is bounded by the layout's cost guard)
+                B1h = state["Q"][b.f12] if first else state["P"][b.f12]
+                rows_hd = gather_blocked_rows_t(
+                    B1h, self.data["blk_u_hd_take" if first
+                                   else "blk_v_hd_take"])
             pregather = self.pregather_u if first else self.pregather_v
             if not pregather:
                 # the fused table kernels consume the pre-gathered stream,
@@ -1907,11 +2134,13 @@ class FFMSolver:
             if jac:
                 G, posq = self._grad_cross(state, b, first,
                                            with_diag_pos=True,
-                                           rows_pre=rows_pre, kt=kt)
+                                           rows_pre=rows_pre, kt=kt,
+                                           rows_hd=rows_hd)
             else:
                 G = self._grad_cross(state, b, first, rows_pre=rows_pre,
-                                     kt=kt)
-            hv = self._hv_cross(state, b, first, rows_pre=rows_pre, kt=kt)
+                                     kt=kt, rows_hd=rows_hd)
+            hv = self._hv_cross(state, b, first, rows_pre=rows_pre, kt=kt,
+                                rows_hd=rows_hd)
         else:
             rows_pre = None
             if jac:
@@ -1924,7 +2153,7 @@ class FFMSolver:
             hv = self._hv_self(state, b, first)
         S, it = self._cg(hv, G, self._diag_H(state, b, first, posq))
         return self._apply_step(state, b, first, S, rows_pre=rows_pre,
-                                kt=kt), it
+                                kt=kt, rows_hd=rows_hd), it
 
     # -- epoch ----------------------------------------------------------------
 

@@ -28,6 +28,16 @@ Usage:
 
 Exit 0 on parity for every variant, 1 otherwise.  Markdown rows for
 docs/PARITY.md are printed at the end.
+
+Tiers (VERDICT r3 #3 — parity at the reference sweep's operating points):
+
+    --tier toy    the round-2/3 gate: 2000 x 150, k=8, 20 epochs (default)
+    --tier sweep  50k users x 5k items, zipf-1.0 skew, 100 epochs, N>=10
+                  seeds, NO absolute floor, cells over the reference grid
+                  (grid.sh: omega 2^0..2^-11, lambda {1,4,16}, k 16-64) via
+                  --grid "k:lam:omega[;...]"; reports per-metric SIGN
+                  consistency (a consistent one-sided delta across seeds is
+                  flagged even when each cell passes the tolerance)
 """
 
 from __future__ import annotations
@@ -90,7 +100,8 @@ def flatten_fields(rows, dims):
     return out
 
 
-def gen_variant(workdir: str, variant: str, users: int, items: int, seed: int):
+def gen_variant(workdir: str, variant: str, users: int, items: int, seed: int,
+                skew: float = 0.0):
     """Write item/train/va files for one variant; returns paths + extra CLI
     flags (shared verbatim by both trainers)."""
     import numpy as np
@@ -99,12 +110,14 @@ def gen_variant(workdir: str, variant: str, users: int, items: int, seed: int):
 
     flags = []
     if variant in ("ffm-ffm", "ffm-ffm--ns", "ffm-freq"):
-        spec = SynthSpec(n_users=users, n_items=items, avg_pos=6.0, seed=seed)
+        spec = SynthSpec(n_users=users, n_items=items, avg_pos=6.0, seed=seed,
+                         pop_skew=skew)
     elif variant in ("fm-fm", "fm-fm--ns"):
-        spec = SynthSpec(n_users=users, n_items=items, avg_pos=6.0, seed=seed)
+        spec = SynthSpec(n_users=users, n_items=items, avg_pos=6.0, seed=seed,
+                         pop_skew=skew)
     elif variant == "mf-mf--ns":
         spec = SynthSpec(n_users=users, n_items=items, avg_pos=6.0, seed=seed,
-                         fu=1, fv=1)
+                         fu=1, fv=1, pop_skew=skew)
     else:
         raise ValueError(variant)
     if variant.endswith("--ns") or variant == "mf-mf--ns":
@@ -139,9 +152,12 @@ def gen_variant(workdir: str, variant: str, users: int, items: int, seed: int):
     return item_path, train_path, va_path, flags
 
 
-def run_pair(binary, files, flags, args, seed):
+def run_pair(binary, files, flags, args, seed, k=None, lam=None, omega=None):
     item, train, va = files
-    hp = ["-k", str(args.k), "-l", str(args.lam), "-w", str(args.omega),
+    k = args.k if k is None else k
+    lam = args.lam if lam is None else lam
+    omega = args.omega if omega is None else omega
+    hp = ["-k", str(k), "-l", str(lam), "-w", str(omega),
           "-r", "-1", "-t", str(args.epochs)]
     ref_cmd = [binary, *hp, "-c", "4", "-p", va, *flags, item, train]
     ref = subprocess.run(ref_cmd, capture_output=True, text=True)
@@ -171,73 +187,142 @@ def mean_std(xs):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--users", type=int, default=2000)
-    ap.add_argument("--items", type=int, default=150)
+    ap.add_argument("--tier", default="toy", choices=["toy", "sweep"],
+                    help="preset: toy (round-2/3 gate) or sweep "
+                         "(reference-grid operating points, VERDICT r3 #3)")
+    ap.add_argument("--users", type=int, default=None)
+    ap.add_argument("--items", type=int, default=None)
     ap.add_argument("--k", type=int, default=8)
-    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--omega", type=float, default=0.1)
     ap.add_argument("--lam", type=float, default=0.05)
-    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--seeds", type=int, default=None)
     ap.add_argument("--rtol", type=float, default=0.15)
+    ap.add_argument("--skew", type=float, default=None,
+                    help="zipf item-popularity exponent for the synthetic "
+                         "data (sweep tier default 1.0)")
+    ap.add_argument("--grid", default=None,
+                    help="grid cells 'k:lam:omega[;k:lam:omega...]' — "
+                         "default: the single (--k, --lam, --omega) cell "
+                         "(toy) or three reference-grid cells (sweep)")
+    ap.add_argument("--jobs", type=int, default=1,
+                    help="paired trials to run concurrently (each pair is "
+                         "already multithreaded; keep modest)")
     ap.add_argument("--our-dtype", default="float32",
                     choices=["float32", "float64", "bfloat16"],
                     help="storage dtype for OUR trainer (bf16 quality gate)")
-    ap.add_argument("--floor", type=float, default=0.25,
-                    help="absolute tolerance floor on x100 metrics")
+    ap.add_argument("--floor", type=float, default=None,
+                    help="absolute tolerance floor on x100 metrics "
+                         "(toy default 0.25; sweep default 0 — no floor)")
+    ap.add_argument("--sign-rtol", type=float, default=0.05,
+                    help="a metric whose per-seed deltas ALL share a sign "
+                         "fails when |Δmean| exceeds this fraction of the "
+                         "reference mean, even inside the noise tolerance")
     ap.add_argument("--variants", default=("ffm-ffm,ffm-ffm--ns,fm-fm,"
                                            "fm-fm--ns,mf-mf--ns,ffm-freq"))
     args = ap.parse_args()
+    sweep = args.tier == "sweep"
+    args.users = args.users or (50_000 if sweep else 2000)
+    args.items = args.items or (5000 if sweep else 150)
+    args.epochs = args.epochs or (100 if sweep else 20)
+    args.seeds = args.seeds or (10 if sweep else 5)
+    args.skew = args.skew if args.skew is not None else (1.0 if sweep else 0.0)
+    args.floor = args.floor if args.floor is not None else (
+        0.0 if sweep else 0.25)
+    if args.grid:
+        cells = [tuple(float(x) for x in c.split(":"))
+                 for c in args.grid.split(";")]
+        cells = [(int(k), lam, w) for k, lam, w in cells]
+    elif sweep:
+        # three reference-grid operating points (grid.sh:186,210 ranges):
+        # the KDD12/Outbrain-style tiny omega at k=16, the KKBox-style
+        # moderate omega at k=32 lambda=1, and the KKBox best row's
+        # (k=64, lambda=4, omega=2^-5)
+        cells = [(16, 4.0, 2.0 ** -11), (32, 1.0, 2.0 ** -5),
+                 (64, 4.0, 2.0 ** -5)]
+    else:
+        cells = [(args.k, args.lam, args.omega)]
 
     binary = build_reference()
     all_ok = True
     md_lines = []
-    for variant in args.variants.split(","):
-        variant = variant.strip()
-        refs, ours = [], []
-        for s in range(args.seeds):
-            workdir = tempfile.mkdtemp(prefix=f"parity_{variant}_{s}_")
-            item, train, va, flags = gen_variant(
-                workdir, variant, args.users, args.items, seed=1000 + s
-            )
-            r, o = run_pair(binary, (item, train, va), flags, args, seed=s)
-            refs.append(r)
-            ours.append(o)
-            print(f"[{variant} seed {s}] ref={json.dumps(r)}")
-            print(f"[{variant} seed {s}] our={json.dumps(o)}", flush=True)
+    import concurrent.futures as cf
+    for k, lam, omega in cells:
+        cell_name = f"k={k} λ={lam:g} ω={omega:g}"
+        for variant in args.variants.split(","):
+            variant = variant.strip()
 
-        print(f"\n== {variant}: mean over {args.seeds} paired trials ==")
-        print(f"{'metric':>8} {'ref mean±σ':>16} {'ours mean±σ':>16} "
-              f"{'Δmean':>8} {'tol':>8}")
-        v_ok = True
-        for m in METRICS:
-            rv = [r[m] for r in refs if m in r]
-            ov = [o[m] for o in ours if m in o]
-            if not rv or not ov:
-                continue
-            mu_r, sd_r = mean_std(rv)
-            mu_o, sd_o = mean_std(ov)
-            diffs = [o_ - r_ for r_, o_ in zip(rv, ov)]
-            _, sd_d = mean_std(diffs)
-            dm = abs(mu_o - mu_r)
-            tol = max(2.0 * sd_d / math.sqrt(len(diffs)),
-                      args.rtol * abs(mu_r), args.floor)
-            ok = dm <= tol
-            v_ok &= ok
-            print(f"{m:>8} {mu_r:8.3g}±{sd_r:<6.2g} {mu_o:8.3g}±{sd_o:<6.2g} "
-                  f"{dm:8.3g} {tol:8.3g}{'' if ok else '  <-- DIVERGED'}")
-            md_lines.append(
-                f"| {variant} | {m} | {mu_r:.3g} ± {sd_r:.2g} | "
-                f"{mu_o:.3g} ± {sd_o:.2g} | {dm:.2g} | {tol:.2g} | "
-                f"{'ok' if ok else 'DIVERGED'} |"
-            )
-        print(f"{variant}: {'PARITY OK' if v_ok else 'PARITY FAILED'}\n",
-              flush=True)
-        all_ok &= v_ok
+            def one(s):
+                workdir = tempfile.mkdtemp(
+                    prefix=f"parity_{variant}_{s}_")
+                item, train, va, flags = gen_variant(
+                    workdir, variant, args.users, args.items,
+                    seed=1000 + s, skew=args.skew)
+                return run_pair(binary, (item, train, va), flags, args,
+                                seed=s, k=k, lam=lam, omega=omega)
+
+            if args.jobs > 1:
+                with cf.ThreadPoolExecutor(args.jobs) as ex:
+                    results = list(ex.map(one, range(args.seeds)))
+            else:
+                results = [one(s) for s in range(args.seeds)]
+            refs = [r for r, _ in results]
+            ours = [o for _, o in results]
+            for s, (r, o) in enumerate(results):
+                print(f"[{cell_name} {variant} seed {s}] "
+                      f"ref={json.dumps(r)}")
+                print(f"[{cell_name} {variant} seed {s}] "
+                      f"our={json.dumps(o)}", flush=True)
+
+            print(f"\n== {cell_name} {variant}: mean over {args.seeds} "
+                  f"paired trials ==")
+            print(f"{'metric':>8} {'ref mean±σ':>16} {'ours mean±σ':>16} "
+                  f"{'Δmean':>8} {'tol':>8} {'sign':>6}")
+            v_ok = True
+            for m in METRICS:
+                rv = [r[m] for r in refs if m in r]
+                ov = [o[m] for o in ours if m in o]
+                if not rv or not ov:
+                    continue
+                mu_r, sd_r = mean_std(rv)
+                mu_o, sd_o = mean_std(ov)
+                diffs = [o_ - r_ for r_, o_ in zip(rv, ov)]
+                _, sd_d = mean_std(diffs)
+                dm = abs(mu_o - mu_r)
+                tol = max(2.0 * sd_d / math.sqrt(len(diffs)),
+                          args.rtol * abs(mu_r), args.floor)
+                n_pos = sum(1 for x in diffs if x > 0)
+                n_neg = sum(1 for x in diffs if x < 0)
+                one_sided = (n_pos == 0 or n_neg == 0) and len(diffs) >= 5
+                # a consistent one-sided delta is a systematic quality
+                # difference the noise tolerance can hide — fail it when
+                # it exceeds sign_rtol of the reference level
+                signed_bad = one_sided and dm > args.sign_rtol * abs(mu_r)
+                ok = dm <= tol and not signed_bad
+                v_ok &= ok
+                sign = f"+{n_pos}/-{n_neg}"
+                note = ("" if ok else
+                        "  <-- ONE-SIDED" if signed_bad and dm <= tol
+                        else "  <-- DIVERGED")
+                print(f"{m:>8} {mu_r:8.3g}±{sd_r:<6.2g} "
+                      f"{mu_o:8.3g}±{sd_o:<6.2g} "
+                      f"{dm:8.3g} {tol:8.3g} {sign:>6}{note}")
+                md_lines.append(
+                    f"| {cell_name} | {variant} | {m} | "
+                    f"{mu_r:.3g} ± {sd_r:.2g} | "
+                    f"{mu_o:.3g} ± {sd_o:.2g} | {dm:.2g} | {tol:.2g} | "
+                    f"{sign} | "
+                    f"{'ok' if ok else 'ONE-SIDED' if signed_bad and dm <= tol else 'DIVERGED'} |"
+                )
+            print(f"{cell_name} {variant}: "
+                  f"{'PARITY OK' if v_ok else 'PARITY FAILED'}\n",
+                  flush=True)
+            all_ok &= v_ok
 
     print("\n--- markdown (docs/PARITY.md) ---")
-    print("| variant | metric | reference mean±σ | ours mean±σ | Δmean | "
-          "tol | verdict |")
-    print("|---|---|---|---|---|---|---|")
+    print("| cell | variant | metric | reference mean±σ | ours mean±σ | "
+          "Δmean | tol | sign | verdict |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for ln in md_lines:
         print(ln)
     print("ALL PARITY OK" if all_ok else "PARITY FAILED")

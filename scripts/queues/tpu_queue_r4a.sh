@@ -15,4 +15,8 @@ OCFFM_DEBUG_GATES=1 BENCH_USERS=2000000 BENCH_ITEMS=200000 \
 echo "=== 4. bench 2M x 200k, forced pregather cap 700MB (kt streams) ==="
 OCFFM_DEBUG_GATES=1 OCFFM_BLK_PREGATHER_MB=700 \
   BENCH_USERS=2000000 BENCH_ITEMS=200000 timeout 3600 python bench.py
+echo "=== 5. bench zipf-1.0 skew, two-tier head layout (r3: 213.9k) ==="
+OCFFM_DEBUG_GATES=1 BENCH_SKEW=1.0 timeout 1800 python bench.py
+echo "=== 6. bench zipf-1.0 skew, two-tier DISABLED (r3 baseline ref) ==="
+OCFFM_HEAD_CHUNK=0 BENCH_SKEW=1.0 timeout 1800 python bench.py
 echo "=== queue done ==="

@@ -926,3 +926,26 @@ def test_solver_perf_gates(rng, monkeypatch):
     assert s7._fused_tbl_side(
         b6, True, meta6.pad_d(b6.d1), "hv_cross", kt=False) is None
     monkeypatch.delenv("OCFFM_BLK_YT")
+
+    # popularity skew: the two-tier split keeps the v layout (head keys
+    # present) and with it the WHOLE kernel stack — round 3 lost
+    # kt/fused/carry here (the layout rejected at the pad-ratio guard)
+    monkeypatch.setenv("OCFFM_HEAD_CHUNK", "8")
+    prob8, _ = make_problem(rng, m=40, n=24, density=0.1)
+    pos8 = __import__("numpy").asarray(prob8.pos).copy()
+    pos8[:, :2] = True  # two power items
+    prob8.pos = pos8
+    meta8, data8 = to_device_problem(prob8, row_pad=1, multiple=8,
+                                     blocked_bm=4)
+    s8 = FFMSolver(meta8, data8)
+    assert s8.hd_v and "blk_v_hd_row" in data8
+    assert s8.kt_u and s8.kt_v and s8.blk_yt and s8.pregather_v
+    # ... and with the split disabled the side rejects as in round 3
+    monkeypatch.setenv("OCFFM_HEAD_CHUNK", "0")
+    meta9, data9 = to_device_problem(prob8, row_pad=1, multiple=8,
+                                     blocked_bm=4)
+    assert meta9.blocked_bm_v == 0 and "blk_v_hd_row" not in data9
+    monkeypatch.delenv("OCFFM_HEAD_CHUNK")
+    # under a shard-aligned mesh the two-tier split must NOT engage (the
+    # head ops are not shard_map-local)
+    assert "blk_u_hd_row" not in data6 and "blk_v_hd_row" not in data6
