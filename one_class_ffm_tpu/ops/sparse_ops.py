@@ -506,10 +506,20 @@ def make_blocked_layout(seg_ids, take_ids, num_rows: int,
     if n_blocks * MAXC > max_pad_ratio * nnz:
         if shard_rows or head_chunk <= 0:
             return None
-        # two-tier split: find the LARGEST per-row count threshold T (fewest
-        # head rows) whose tail layout + chunked head tier fit the budget
+        # two-tier split: over a T ladder, pick the per-row count threshold
+        # whose tail layout + chunked head tier stream the FEWEST total
+        # slots (n_blocks*MAXC_tail + head slots).  Minimizing head size
+        # alone is wrong: it leaves tail MAXC near the power rows' counts,
+        # which keeps the kt/fused kernels' per-block VMEM estimates
+        # rejected — the whole point of the split is a SMALL tail MAXC.
         rowcnt = np.bincount(seg, minlength=num_rows)
         maxcnt = int(rowcnt.max())
+        # the head is for POWER rows only: cap it at 1/8 of the nonzero
+        # rows (unbounded min-cost degenerates to moving EVERYTHING head-
+        # side on small problems), and weight head slots 1.5x in the cost
+        # (per-chunk overheads + the scatter over head rows)
+        nh_cap = min(1 << 16, max(16, int((rowcnt > 0).sum()) // 8))
+        best = None  # (cost, T, maxc_t, head mask)
         T = maxcnt
         while T >= head_chunk:
             T //= 2
@@ -517,20 +527,28 @@ def make_blocked_layout(seg_ids, take_ids, num_rows: int,
             n_head = int(head.sum())
             if n_head == 0:
                 continue
-            if n_head > (1 << 16):
-                return None  # heavy everywhere — no useful split exists
+            if n_head > nh_cap:
+                break  # smaller T only grows the head further
             _, bc = block_counts(seg[~head[seg]])
+            if bc.size == 0 or bc.max() == 0:
+                break  # tail emptied — not a power-row split
             maxc_t = max(8, -(-int(bc.max()) // 8) * 8)
             hd_slots = int(
                 (-(-rowcnt[head] // head_chunk) * head_chunk).sum())
-            if n_blocks * maxc_t + hd_slots <= max_pad_ratio * nnz:
-                hd_rows = np.nonzero(head)[0].astype(np.int64)
-                head_sel = (hd_rows, rowcnt[hd_rows],
-                            np.searchsorted(seg, hd_rows))
-                MAXC = maxc_t
-                break
-        if head_sel is None:
+            # feasibility: the ACTUAL streamed slots vs the plain ops'
+            # stream; selection: head slots weighted 1.5x (chunk overheads
+            # + the per-head-row scatter)
+            if n_blocks * maxc_t + hd_slots > max_pad_ratio * nnz:
+                continue
+            cost = n_blocks * maxc_t + 1.5 * hd_slots
+            if best is None or cost < best[0]:
+                best = (cost, T, maxc_t, head)
+        if best is None:
             return None
+        _, _, MAXC, head = best
+        hd_rows = np.nonzero(head)[0].astype(np.int64)
+        head_sel = (hd_rows, rowcnt[hd_rows],
+                    np.searchsorted(seg, hd_rows))
 
     def slots(s, bk, strt, cnts, maxw):
         offs = np.arange(maxw, dtype=np.int64)[None, :]

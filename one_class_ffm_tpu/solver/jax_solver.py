@@ -526,7 +526,9 @@ class FFMSolver:
             total_hbm = int(ms.get("bytes_limit", 0))
         except Exception:
             total_hbm = 0
-        if not total_hbm and on_tpu:
+        if not total_hbm and (on_tpu or "OCFFM_HBM_GB" in _os.environ):
+            # explicit OCFFM_HBM_GB engages the static budget on CPU too
+            # (how the budget arithmetic is unit-tested)
             total_hbm = int(
                 float(_os.environ.get("OCFFM_HBM_GB", 16)) * (1 << 30))
         budget = None
@@ -535,17 +537,26 @@ class FFMSolver:
             isz_ = jnp.dtype(meta.dtype).itemsize
             state_b = 0
             max_d = 1
+            trans_b = 0  # largest single solve's table+cache replacement
             for bi in self.blocks:
                 rows1 = meta.m if bi.f1 < meta.layout.fu else meta.n
                 rows2 = meta.m if bi.f2 < meta.layout.fu else meta.n
                 state_b += (meta.pad_d(bi.d1) + meta.pad_d(bi.d2)
                             + rows1 + rows2) * k_pad * isz_
                 max_d = max(max_d, meta.pad_d(bi.d1), meta.pad_d(bi.d2))
+                trans_b = max(
+                    trans_b,
+                    (meta.pad_d(bi.d1) + rows1) * k_pad * isz_,
+                    (meta.pad_d(bi.d2) + rows2) * k_pad * isz_)
             state_b += 2 * meta.nnz * isz_
             data_b = sum(
                 _phys_bytes(a.shape, a.dtype) for a in jax.tree.leaves(data))
             cg_b = 5 * max_d * k_pad * 4  # S/R/V/G/Hv at the f32 CG floor
-            budget = total_hbm - data_b - 2 * state_b - cg_b
+            # the input state is DONATED: a solve's update transients are
+            # bounded by the one block being replaced (table + its cache),
+            # not a full second copy of the state — the old 2x-state model
+            # zeroed the cap at 1M x 500k and cost 4x throughput there
+            budget = total_hbm - data_b - state_b - trans_b - cg_b
             cap = min(cap, max(0, budget) // 2)
         self.pregather_cap = cap
         self._gate_log = _os.environ.get(
@@ -597,10 +608,20 @@ class FFMSolver:
         self.kt_u = kt_side_ok(meta.blocked_bm_u, "blk_u_own")
         self.kt_v = kt_side_ok(meta.blocked_bm_v, "blk_v_own")
 
+        # OCFFM_BLK_PREGATHER_SIDE: restrict the per-solve stream
+        # materialization to one segment side ("u"/"v"; default both) —
+        # halves the LIVE stream footprint at configs where the state +
+        # CG vectors leave room for only one side's stream (2M x 200k:
+        # both sides forced at cap 700MB OOM'd the 16GB chip)
+        side_env = _os.environ.get("OCFFM_BLK_PREGATHER_SIDE", "").lower()
+
         def pregather_ok(side_bm: int, take_key: str, b_rows: int,
                          kt_side: bool) -> bool:
             if not side_bm or take_key not in data or mode in (
                     "0", "off", "false"):
+                return False
+            if side_env in ("u", "v") and not take_key.startswith(
+                    f"blk_{side_env}_"):
                 return False
             if mesh is not None and meta.blocked_shards == 1:
                 # mesh runs keep the plain GSPMD-shardable ops (the
@@ -2103,15 +2124,27 @@ class FFMSolver:
                 # never past the materialization HBM cap (a 2M x 200k run
                 # OOM'd the chip on a ~3GB forced stream; the k-major
                 # stream is 4x smaller at k=32)
+                import os as _os2
+                side_env2 = _os2.environ.get(
+                    "OCFFM_BLK_PREGATHER_SIDE", "").lower()
                 dim_t = state["params"][b.f12]["W" if first else "H"].shape[0]
                 take_key = "blk_u_take" if first else "blk_v_take"
-                if (self._fused_tbl_side(b, first, dim_t, "hv_cross", kt)
+                if (side_env2 not in ("u", "v")
+                        or take_key.startswith(f"blk_{side_env2}_")) and (
+                        self._fused_tbl_side(b, first, dim_t, "hv_cross", kt)
                         is not None and take_key in self.data):
                     nb, maxc = self.data[take_key].shape
                     lanes = (_kt_sublanes(self.meta.hp.k, self.meta.dtype)
                              if kt else -(-self.meta.hp.k // 128) * 128)
                     nbytes = (nb * maxc * lanes
                               * jnp.dtype(self.meta.dtype).itemsize)
+                    hd_key = take_key.replace("take", "hd_take")
+                    if hd_key in self.data:
+                        nch, chunk = self.data[hd_key].shape
+                        nbytes += (nch * chunk
+                                   * jnp.dtype(self.meta.dtype).itemsize
+                                   * _kt_sublanes(self.meta.hp.k,
+                                                  self.meta.dtype))
                     pregather = nbytes <= self.pregather_cap
             if pregather:
                 d = self.data

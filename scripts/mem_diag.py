@@ -28,6 +28,7 @@ def main() -> int:
     spec = SynthSpec(
         n_users=n_users, n_items=n_items, fu=2, fv=2,
         dims_u=(n_users, 1000), dims_v=(n_items, 500), avg_pos=5.0, seed=0,
+        pop_skew=float(os.environ.get("BENCH_SKEW", 0.0)),
     )
     (du, dv), u_pad, v_pad, y_pad = build_padded(
         spec, dtype=np.float32, row_multiple=256)
@@ -56,6 +57,11 @@ def main() -> int:
             print(f"  {side}: n_blocks={nb} MAXC={maxc} "
                   f"stream={(nb * maxc * lanes * 2) / (1 << 20):.0f} MiB "
                   f"(kt={kt_side})")
+        hd = key.replace("take", "hd_take")
+        if hd in data:
+            nch, chunk = data[hd].shape
+            print(f"  {side} head tier: {nch} chunks x {chunk} "
+                  f"({(nch * chunk * 32 * 2) / (1 << 20):.0f} MiB k-major)")
     return 0
 
 

@@ -949,3 +949,17 @@ def test_solver_perf_gates(rng, monkeypatch):
     # under a shard-aligned mesh the two-tier split must NOT engage (the
     # head ops are not shard_map-local)
     assert "blk_u_hd_row" not in data6 and "blk_v_hd_row" not in data6
+
+    # static HBM budget (OCFFM_HBM_GB engages it off-TPU when set): ample
+    # HBM keeps the stack on; the donation-aware model must NOT zero the
+    # cap when the state fits (the 2x-state model cost 4x at 1M x 500k);
+    # a tiny HBM zeroes the cap and the stack falls back
+    monkeypatch.setenv("OCFFM_HBM_GB", "16")
+    s10 = FFMSolver(meta, data)
+    assert s10.pregather_u and s10.pregather_v and s10.blk_yt
+    assert s10.pregather_cap > 0
+    monkeypatch.setenv("OCFFM_HBM_GB", "0.0001")
+    s11 = FFMSolver(meta, data)
+    assert s11.pregather_cap == 0
+    assert not s11.pregather_u and not s11.blk_yt
+    monkeypatch.delenv("OCFFM_HBM_GB")
