@@ -551,7 +551,16 @@ class FFMSolver:
             state_b += 2 * meta.nnz * isz_
             data_b = sum(
                 _phys_bytes(a.shape, a.dtype) for a in jax.tree.leaves(data))
-            cg_b = 5 * max_d * k_pad * 4  # S/R/V/G/Hv at the f32 CG floor
+            # S/R/V/G/Hv at the f32 CG floor; the carried S/R/V pack their
+            # minor dim when OCFFM_CG_PACK engages (the hv-facing V/Hv
+            # transients stay lane-padded)
+            pmode_cg = _os.environ.get("OCFFM_CG_PACK", "auto").lower()
+            p_cg = (128 // meta.hp.k
+                    if meta.hp.k < 128 and 128 % meta.hp.k == 0 else 1)
+            if pmode_cg in ("0", "off", "false") or (
+                    pmode_cg == "auto" and max_d < (1 << 20)):
+                p_cg = 1
+            cg_b = (2 * k_pad + 3 * (k_pad // p_cg)) * max_d * 4
             # the input state is DONATED: a solve's update transients are
             # bounded by the one block being replaced (table + its cache),
             # not a full second copy of the state — the old 2x-state model
@@ -1915,8 +1924,31 @@ class FFMSolver:
         hp = self.meta.hp
         storage = G.dtype
         ct = jnp.promote_types(storage, jnp.float32)  # f32 floor, keeps f64
-        Gc = G.astype(ct)
-        Dc = None if D is None else D.astype(ct)
+        # minor-dim packing of the recurrence vectors (OCFFM_CG_PACK,
+        # default auto = tables with >= 2^20 rows): a (D, k<128) f32 array
+        # physically lane-pads to 128 — the 2M x 200k config's S/R/V set
+        # is 5.1 GB physical for 1.3 GB logical, and that padding is what
+        # starves the kt streams out of HBM there.  Packing p = 128/k rows
+        # per 128-lane row is exact up to XLA reduction order in the
+        # alpha/beta sums (the recurrence itself is elementwise); the hv
+        # evaluation still sees the logical (D, k) shape.
+        import os as _os
+        pmode = _os.environ.get("OCFFM_CG_PACK", "auto").lower()
+        dpad, kk = G.shape
+        p = 128 // kk if kk < 128 and 128 % kk == 0 and dpad % (
+            128 // kk) == 0 else 1
+        if pmode in ("0", "off", "false") or (
+                pmode == "auto" and dpad < (1 << 20)):
+            p = 1
+
+        def pk(a):
+            return a.reshape(dpad // p, p * kk) if p > 1 else a
+
+        def upk(a):
+            return a.reshape(dpad, kk) if p > 1 else a
+
+        Gc = pk(G.astype(ct))
+        Dc = None if D is None else pk(D.astype(ct))
         g2 = jnp.sum(Gc * Gc)
 
         def cond(carry):
@@ -1925,7 +1957,7 @@ class FFMSolver:
 
         def body(carry):
             S, R, V, r2, rz, it = carry
-            Hv = hv(V.astype(storage)).astype(ct)
+            Hv = pk(hv(upk(V).astype(storage)).astype(ct))
             alpha = rz / jnp.sum(V * Hv)
             S = S + alpha * V
             R = R - alpha * Hv
@@ -1944,7 +1976,7 @@ class FFMSolver:
         rz0 = g2 if Dc is None else jnp.sum(Gc * (Gc / Dc))
         init = (S0, -Gc, V0, g2, rz0, jnp.asarray(0, jnp.int32))
         S, _, _, _, _, it = jax.lax.while_loop(cond, body, init)
-        return S.astype(storage), it
+        return upk(S).astype(storage), it
 
     # -- block updates (incremental cache refresh) ----------------------------
 

@@ -52,6 +52,7 @@ def make_problem(
     max_nnz=2,
     density=0.3,
     cg_precond="jacobi",
+    k=3,
 ):
     """Random tiny OracleProblem + matching random params."""
     Xu = [random_sparse_dense(rng, m, d, max_nnz) for d in Du]
@@ -62,7 +63,7 @@ def make_problem(
         if not pos[i].any():
             pos[i, rng.integers(n)] = True
     layout = BlockLayout.make(Du, Dv, self_side)
-    hp = HyperParams(k=3, lam=lam, omega=omega, r=r, freq=freq,
+    hp = HyperParams(k=k, lam=lam, omega=omega, r=r, freq=freq,
                      cg_precond=cg_precond)
     freq_u = [X.astype(bool).sum(axis=0).astype(np.float64) for X in Xu]
     freq_v = [X.astype(bool).sum(axis=0).astype(np.float64) for X in Xv]
@@ -71,8 +72,10 @@ def make_problem(
     )
     params = {"W": {}, "H": {}}
     for b in layout.all_blocks():
-        params["W"][b.f12] = rng.normal(scale=0.1 / np.sqrt(hp.k), size=(b.d1, hp.k))
-        params["H"][b.f12] = rng.normal(scale=0.1 / np.sqrt(hp.k), size=(b.d2, hp.k))
+        params["W"][b.f12] = rng.normal(scale=0.1 / np.sqrt(hp.k),
+                                        size=(b.d1, hp.k))
+        params["H"][b.f12] = rng.normal(scale=0.1 / np.sqrt(hp.k),
+                                        size=(b.d2, hp.k))
     return prob, params
 
 

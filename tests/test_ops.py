@@ -950,6 +950,30 @@ def test_solver_perf_gates(rng, monkeypatch):
     # head ops are not shard_map-local)
     assert "blk_u_hd_row" not in data6 and "blk_v_hd_row" not in data6
 
+    # CG minor-dim packing (OCFFM_CG_PACK): forced packing must reproduce
+    # the unpacked recurrence (same floats, packed carry layout; only XLA
+    # reduction order in the alpha/beta sums differs — f64 noise).  k=64
+    # packs 2 rows per 128-lane row; even table dims keep p engaged.
+    prob_p, params_p = make_problem(rng, Du=(8, 6), Dv=(6, 4), k=64)
+    meta_p2, data_p2 = to_device_problem(prob_p, multiple=4)
+    from conftest import oracle_params_to_jax
+    monkeypatch.setenv("OCFFM_CG_PACK", "0")
+    s_a = FFMSolver(meta_p2, data_p2)
+    st_a = s_a.refresh_caches(
+        {"params": oracle_params_to_jax(params_p)})
+    ref_p = s_a.epoch(st_a)
+    monkeypatch.setenv("OCFFM_CG_PACK", "1")
+    s_b = FFMSolver(meta_p2, data_p2)
+    st_b = s_b.refresh_caches(
+        {"params": oracle_params_to_jax(params_p)})
+    got_p = s_b.epoch(st_b)
+    import numpy as _np
+    for f12 in ref_p["params"]:
+        _np.testing.assert_allclose(
+            _np.asarray(got_p["params"][f12]["W"]),
+            _np.asarray(ref_p["params"][f12]["W"]), rtol=1e-6, atol=1e-10)
+    monkeypatch.delenv("OCFFM_CG_PACK")
+
     # static HBM budget (OCFFM_HBM_GB engages it off-TPU when set): ample
     # HBM keeps the stack on; the donation-aware model must NOT zero the
     # cap when the state fits (the 2x-state model cost 4x at 1M x 500k);
