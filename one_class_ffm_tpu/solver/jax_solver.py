@@ -1958,17 +1958,27 @@ class FFMSolver:
         def body(carry):
             S, R, V, r2, rz, it = carry
             Hv = pk(hv(upk(V).astype(storage)).astype(ct))
-            alpha = rz / jnp.sum(V * Hv)
+            den = jnp.sum(V * Hv)
+            # degenerate-denominator guard: on a (near-)converged block the
+            # f32 recurrence can underflow V.Hv to exactly 0 (mathematically
+            # it is >= lam * reg * |V|^2 > 0; the f64 reference never sees
+            # this) — an unguarded rz/0 step writes inf/nan into the table
+            # and poisons ploss forever after (found by the sweep-tier
+            # parity run: 7/10 seeds NaN at k=16, lam=4, omega=2^-11, f32).
+            # Take no step and force the stop condition instead.
+            ok = den > 0
+            alpha = jnp.where(ok, rz / jnp.where(ok, den, 1.0), 0.0)
             S = S + alpha * V
             R = R - alpha * Hv
-            r2_new = jnp.sum(R * R)
+            r2_new = jnp.where(ok, jnp.sum(R * R), 0.0)
+            rz_safe = jnp.where(rz > 0, rz, 1.0)
             if Dc is None:
                 rz_new = r2_new
-                V = R + (rz_new / rz) * V
+                V = R + (rz_new / rz_safe) * V
             else:
                 Z = R / Dc
                 rz_new = jnp.sum(R * Z)
-                V = Z + (rz_new / rz) * V
+                V = Z + (rz_new / rz_safe) * V
             return S, R, V, r2_new, rz_new, it + 1
 
         S0 = jnp.zeros_like(Gc)

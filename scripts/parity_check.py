@@ -258,8 +258,14 @@ def main() -> int:
                 item, train, va, flags = gen_variant(
                     workdir, variant, args.users, args.items,
                     seed=1000 + s, skew=args.skew)
-                return run_pair(binary, (item, train, va), flags, args,
+                r, o = run_pair(binary, (item, train, va), flags, args,
                                 seed=s, k=k, lam=lam, omega=omega)
+                # print as each pair lands — long runs stay salvageable
+                print(f"[{cell_name} {variant} seed {s}] "
+                      f"ref={json.dumps(r)}")
+                print(f"[{cell_name} {variant} seed {s}] "
+                      f"our={json.dumps(o)}", flush=True)
+                return r, o
 
             if args.jobs > 1:
                 with cf.ThreadPoolExecutor(args.jobs) as ex:
@@ -268,11 +274,6 @@ def main() -> int:
                 results = [one(s) for s in range(args.seeds)]
             refs = [r for r, _ in results]
             ours = [o for _, o in results]
-            for s, (r, o) in enumerate(results):
-                print(f"[{cell_name} {variant} seed {s}] "
-                      f"ref={json.dumps(r)}")
-                print(f"[{cell_name} {variant} seed {s}] "
-                      f"our={json.dumps(o)}", flush=True)
 
             print(f"\n== {cell_name} {variant}: mean over {args.seeds} "
                   f"paired trials ==")

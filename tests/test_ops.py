@@ -950,6 +950,16 @@ def test_solver_perf_gates(rng, monkeypatch):
     # head ops are not shard_map-local)
     assert "blk_u_hd_row" not in data6 and "blk_v_hd_row" not in data6
 
+    # CG degenerate-denominator guard: an f32 V.Hv underflow to 0 (found
+    # by the sweep-tier parity run: inf steps -> NaN ploss on 7/10 seeds)
+    # must take no step and stop, never write inf/nan
+    import jax.numpy as jnp
+    s9 = FFMSolver(meta, data)
+    G9 = jnp.full((8, 4), 1e-18, jnp.float32)
+    for D9 in (None, jnp.ones((8, 4), jnp.float32)):
+        S9, it9 = s9._cg(lambda V: V * jnp.float32(1e-25), G9, D9)
+        assert bool(jnp.all(jnp.isfinite(S9)))
+
     # CG minor-dim packing (OCFFM_CG_PACK): forced packing must reproduce
     # the unpacked recurrence (same floats, packed carry layout; only XLA
     # reduction order in the alpha/beta sums differs — f64 noise).  k=64
