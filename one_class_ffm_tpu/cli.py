@@ -15,7 +15,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from .train import TrainConfig, Trainer
+from .train import NonFiniteMetricError, TrainConfig, Trainer
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -100,6 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-host: jax.distributed.initialize() from env "
                         "(JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
                         "JAX_PROCESS_ID) before building the mesh")
+    p.add_argument("--no-nan-guard", dest="nan_guard", action="store_false",
+                   help="disable the finiteness tripwire (by default a "
+                        "NaN/inf eval metric aborts the run, naming the "
+                        "poisoned blocks)")
     p.add_argument("--verbose", action="store_true",
                    help="print dataset/model summary before training")
     p.add_argument("--config", default=None,
@@ -138,6 +142,7 @@ def config_from_args(args) -> TrainConfig:
         eval_shard=args.eval_shard,
         cg_precond=args.cg_precond,
         blocked_bm=args.blocked_bm,
+        nan_guard=args.nan_guard,
     )
 
 
@@ -201,7 +206,11 @@ def main(argv=None) -> int:
     trainer = Trainer(cfg)
     if args.verbose:
         trainer.describe()
-    trainer.run()
+    try:
+        trainer.run()
+    except NonFiniteMetricError as e:
+        print(f"ocffm: error: {e}", file=sys.stderr)
+        return 2
     if args.predict_topk and trainer.evaluator is not None:
         top = trainer.predict_topk(k=args.predict_topk)
         for row in top:

@@ -431,7 +431,7 @@ def pos_hv(phi: Array, own_ids: Array, B: Array, other_ids: Array,
 def make_blocked_layout(seg_ids, take_ids, num_rows: int,
                         block_rows: int = 256, max_pad_ratio: float = 2.0,
                         shard_rows: int = 0, drop=None,
-                        head_chunk: int = 512):
+                        head_chunk: int = 512, nch_multiple: int = 8):
     """Host-side (numpy) block-aligned view of the COO stream, segmented by
     ``seg_ids``.  An unsorted segment side is stable-argsorted first — the
     per-call coefficient permutation this induces is a cheap (nnz,) scalar
@@ -455,20 +455,24 @@ def make_blocked_layout(seg_ids, take_ids, num_rows: int,
     layout is) and block/shard boundaries to nest (shard_rows % block_rows
     == 0).
 
-    ``head_chunk`` > 0 (single-shard only): when a popularity-skewed side
-    would fail the pad-ratio guard (a handful of power rows set MAXC for
-    everyone — the reference's load-imbalance case, schedule(guided)
-    ffm.cpp:572), split TWO-TIER instead of rejecting: the heaviest rows'
-    entries move to a chunked HEAD tier ((n_chunks, head_chunk) slots, each
-    chunk owned by exactly ONE row, per-row padding < one chunk) and the
-    TAIL tier is the ordinary blocked layout over ALL rows with the head
-    entries dropped — so its MAXC collapses to the tail's max and every
-    dense per-row term still runs once over the full row space.  Extra
-    keys: hd_src/hd_take (n_chunks, head_chunk), hd_row/hd_loc (n_chunks,)
-    global row id / compact head index per chunk, hd_valid, hd_rows (the
-    (n_head,) sorted global head row list), chunk.  ``inv`` then maps into
-    the CONCATENATED flat slot space (tail slots first, head slots at
-    offset n_blocks * MAXC)."""
+    ``head_chunk`` > 0: when a popularity-skewed side would fail the
+    pad-ratio guard (a handful of power rows set MAXC for everyone — the
+    reference's load-imbalance case, schedule(guided) ffm.cpp:572), split
+    TWO-TIER instead of rejecting: the heaviest rows' entries move to a
+    chunked HEAD tier ((n_chunks, head_chunk) slots, each chunk owned by
+    exactly ONE row, per-row padding < one chunk) and the TAIL tier is the
+    ordinary blocked layout over ALL rows with the head entries dropped —
+    so its MAXC collapses to the tail's max and every dense per-row term
+    still runs once over the full row space.  Extra keys: hd_src/hd_take
+    (n_chunks, head_chunk), hd_row/hd_loc (n_chunks,) global row id /
+    compact head index per chunk, hd_valid, hd_rows (the (n_head,) sorted
+    global head row list), chunk.  ``inv`` then maps into the CONCATENATED
+    flat slot space (tail slots first, head slots at offset
+    n_blocks * MAXC).  Composes with ``shard_rows`` (round 5): head src
+    stays GLOBAL (assembly/carry-propagation only — runtime consumes
+    slot-order carried coefficients), the tail keeps shard-local src, and
+    ``nch_multiple`` pads the chunk count so the chunk dim can shard
+    evenly.  hd_src always indexes ORIGINAL stream positions."""
     import numpy as np
 
     if block_rows <= 0 or num_rows % block_rows or num_rows == 0:
@@ -504,7 +508,7 @@ def make_blocked_layout(seg_ids, take_ids, num_rows: int,
     # they replace stream the whole padded stream (nnz, pads included)
     head_sel = None  # (hd_rows, hd_cnt, hd_first) of the head tier
     if n_blocks * MAXC > max_pad_ratio * nnz:
-        if shard_rows or head_chunk <= 0:
+        if head_chunk <= 0:
             return None
         # two-tier split: over a T ladder, pick the per-row count threshold
         # whose tail layout + chunked head tier stream the FEWEST total
@@ -597,7 +601,8 @@ def make_blocked_layout(seg_ids, take_ids, num_rows: int,
         # sorted); per-row padding < one chunk.  Chunk count pads to a
         # multiple of 8 with all-pad chunks (hd_valid False -> zero weight).
         nch_r = (-(-hd_cnt // head_chunk)).astype(np.int64)
-        NCH = -(-int(nch_r.sum()) // 8) * 8
+        m_nch = max(8, int(nch_multiple))
+        NCH = -(-int(nch_r.sum()) // m_nch) * m_nch
         hd_row = np.full(NCH, hd_rows[0], np.int64)
         hd_loc = np.zeros(NCH, np.int64)
         cum = np.cumsum(nch_r) - nch_r

@@ -115,6 +115,24 @@ def shard_data(data: Dict[str, Any], mesh: Mesh, axis: str = "data") -> Dict[str
     for key in ("blk_u_inv", "blk_v_inv"):
         if key in data:
             out[key] = _put(data[key], row)
+    # two-tier head tier (round 5): chunk-dim arrays shard on the leading
+    # chunk dim when it divides evenly (nch_multiple pads it to the mesh
+    # size), else replicate — the head ops run at jit level and GSPMD
+    # partitions them either way; head-row feature copies (xh_*) are tiny
+    # (NH bounded by the layout's 1/8-of-rows cap) and stay replicated.
+    n_dev = mesh.shape[axis]
+    for key in ("blk_u_hd_take", "blk_u_hd_src", "blk_u_hd_row",
+                "blk_u_hd_loc", "blk_u_hd_w", "blk_u_hd_from_v",
+                "blk_v_hd_take", "blk_v_hd_src", "blk_v_hd_row",
+                "blk_v_hd_loc", "blk_v_hd_w", "blk_v_hd_from_u"):
+        if key in data:
+            a = data[key]
+            out[key] = _put(a, row if a.shape[0] % n_dev == 0 else rep)
+    for key in ("xh_u", "xh_v"):
+        if key in data and data[key] is not None:
+            out[key] = tuple(
+                None if pair is None else tuple(_put(a, rep) for a in pair)
+                for pair in data[key])
     return out
 
 
@@ -179,4 +197,10 @@ def shard_state(
     for key in ("a", "b", "yt", "yt_u", "yt_v"):
         if key in state:
             out[key] = _put(state[key], row)
+    rep = NamedSharding(mesh, P())
+    n_dev = mesh.shape[axis]
+    for key in ("yt_u_hd", "yt_v_hd"):  # carried head residuals (chunk dim)
+        if key in state:
+            a = state[key]
+            out[key] = _put(a, row if a.shape[0] % n_dev == 0 else rep)
     return out

@@ -163,25 +163,37 @@ def make_device_data(
         pads = np.asarray(y.w) == 0  # zero-weight entries occupy no slots
         # OCFFM_HEAD_CHUNK: chunk width of the two-tier skew layout's head
         # tier (0 disables the split — skewed sides then reject outright as
-        # in round 3).  Mesh runs keep single-tier layouts: the head ops
-        # are not shard_map-local (ROADMAP).
+        # in round 3).  Since round 5 the head tier composes with the data
+        # mesh too: head slots are chunk-dim arrays consumed at jit level
+        # (outside the shard_map tail passes) — GSPMD partitions the small
+        # head ops, whose outputs are per-head-row (NH bounded by the
+        # layout's 1/8-of-rows cap) or (D, k) table terms it all-reduces.
         head_chunk = int(_os0.environ.get("OCFFM_HEAD_CHUNK", 512))
+        # pad the chunk count so the chunk dim shards evenly on the mesh
+        import math as _math0
+
+        nch_mult = 8 * blocked_shards // _math0.gcd(8, blocked_shards)
         if blocked_shards > 1:
             blk = make_blocked_layout(
                 y.u, y.v, u.m, blocked_bm, max_pad_ratio=ratio,
-                shard_rows=u.m // blocked_shards, drop=pads)
+                shard_rows=u.m // blocked_shards, drop=pads,
+                head_chunk=head_chunk, nch_multiple=nch_mult)
             # v side under the mesh: the layout's slot arrays shard on the
             # leading blocks dim (item rows ride the same data axis) and
             # the SHARDED kernel stack consumes only slot-order data (the
             # residual carry makes coefficients elementwise) — so the
             # global src is assembly-time only and needs no shard locality.
-            # Rows-per-shard must divide blocked_bm for block/shard nesting.
+            # blocked_bm must divide rows-per-shard (and shards must divide
+            # v.m evenly) so blocks nest inside shards; the combined check
+            # catches v.m not divisible by the shard count, which floor
+            # division would let through (ADVICE r4).
             blk_v = None
             if (blk is not None
-                    and (v.m // blocked_shards) % blocked_bm == 0):
+                    and v.m % (blocked_shards * blocked_bm) == 0):
                 blk_v = make_blocked_layout(y.v, y.u, v.m, blocked_bm,
                                             max_pad_ratio=ratio, drop=pads,
-                                            head_chunk=0)
+                                            head_chunk=head_chunk,
+                                            nch_multiple=nch_mult)
         else:
             blk = make_blocked_layout(y.u, y.v, u.m, blocked_bm,
                                       max_pad_ratio=ratio, drop=pads,
@@ -451,6 +463,17 @@ def _kt_sublanes(k: int, dtype) -> int:
     return -(-k // sub) * sub
 
 
+def _kt_stream_bytes(nb: int, minor: int, k: int, dtype) -> int:
+    """Physical bytes of a k-major pre-gathered stream (nb, k, minor):
+    k pads to the sublane tile AND the minor dim (MAXC / head chunk) pads
+    to 128 lanes — for MAXC far from a 128 multiple the lane padding
+    dominates (~1.9x at MAXC=136), so the OOM cap must count it
+    (ADVICE r4)."""
+    minor_pad = -(-minor // 128) * 128
+    return (nb * _kt_sublanes(k, dtype) * minor_pad
+            * jnp.dtype(dtype).itemsize)
+
+
 # ---------------------------------------------------------------------------
 # Solver
 # ---------------------------------------------------------------------------
@@ -644,16 +667,18 @@ class FFMSolver:
             # k rides SUBLANES there, so pad to the dtype's sublane tile
             # (8 f32 / 16 bf16) — a bf16 k<=16 stream physically occupies
             # 2x the naive estimate (ADVICE r3).
-            lanes = (_kt_sublanes(meta.hp.k, meta.dtype) if kt_side
-                     else -(-meta.hp.k // 128) * 128)
-            nbytes = nb * maxc * lanes * jnp.dtype(meta.dtype).itemsize
+            if kt_side:
+                nbytes = _kt_stream_bytes(nb, maxc, meta.hp.k, meta.dtype)
+            else:
+                lanes = -(-meta.hp.k // 128) * 128
+                nbytes = nb * maxc * lanes * jnp.dtype(meta.dtype).itemsize
             # the head tier's k-major stream is gathered alongside —
             # count it against the same cap
             hd_key = take_key.replace("take", "hd_take")
             if hd_key in data:
                 nch, chunk = data[hd_key].shape
-                nbytes += (nch * chunk * jnp.dtype(meta.dtype).itemsize
-                           * _kt_sublanes(meta.hp.k, meta.dtype))
+                nbytes += _kt_stream_bytes(nch, chunk, meta.hp.k,
+                                           meta.dtype)
             return b_rows >= min_rows and nbytes <= cap
 
         self.pregather_u = pregather_ok(
@@ -1157,10 +1182,12 @@ class FFMSolver:
                     cb, d[pre + "own"], num,
                     meta.blocked_bm_u if b.kind == "uu"
                     else meta.blocked_bm_v)
-                if self._hd_side(b.kind == "uu"):
-                    zpos = zpos + head_seg_sum(
-                        self._hd_coeff(state, b.kind == "uu"),
-                        d[pre + "hd_row"], num)
+            if self._hd_side(b.kind == "uu"):
+                # the tail slots dropped the head rows' entries — add their
+                # per-row sums in BOTH the sharded and single-shard branches
+                zpos = zpos + head_seg_sum(
+                    self._hd_coeff(state, b.kind == "uu"),
+                    d[pre + "hd_row"], num)
         else:
             c = self._pos_coeff(state["yt"]) * d["pos_w"]
             zpos = jax.ops.segment_sum(
@@ -2176,17 +2203,18 @@ class FFMSolver:
                         self._fused_tbl_side(b, first, dim_t, "hv_cross", kt)
                         is not None and take_key in self.data):
                     nb, maxc = self.data[take_key].shape
-                    lanes = (_kt_sublanes(self.meta.hp.k, self.meta.dtype)
-                             if kt else -(-self.meta.hp.k // 128) * 128)
-                    nbytes = (nb * maxc * lanes
-                              * jnp.dtype(self.meta.dtype).itemsize)
+                    if kt:
+                        nbytes = _kt_stream_bytes(
+                            nb, maxc, self.meta.hp.k, self.meta.dtype)
+                    else:
+                        lanes = -(-self.meta.hp.k // 128) * 128
+                        nbytes = (nb * maxc * lanes
+                                  * jnp.dtype(self.meta.dtype).itemsize)
                     hd_key = take_key.replace("take", "hd_take")
                     if hd_key in self.data:
                         nch, chunk = self.data[hd_key].shape
-                        nbytes += (nch * chunk
-                                   * jnp.dtype(self.meta.dtype).itemsize
-                                   * _kt_sublanes(self.meta.hp.k,
-                                                  self.meta.dtype))
+                        nbytes += _kt_stream_bytes(
+                            nch, chunk, self.meta.hp.k, self.meta.dtype)
                     pregather = nbytes <= self.pregather_cap
             if pregather:
                 d = self.data

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 import time
 from dataclasses import dataclass, field
@@ -37,6 +38,11 @@ from .models.blocks import BlockLayout, index_vec
 from .solver.params import HyperParams
 
 TOP_KS = (5, 10, 20, 40, 80)
+
+
+class NonFiniteMetricError(RuntimeError):
+    """Raised by the finiteness tripwire when an eval metric goes NaN/inf
+    (poisoned model state); see Trainer._check_finite."""
 
 
 @dataclass
@@ -92,6 +98,11 @@ class TrainConfig:
     # internal: set by Trainer under a data mesh — the stream is laid out
     # shard-aligned over this many shards (0 = flat layout)
     stream_shards: int = 0
+    # finiteness tripwire: fail LOUDLY when an eval metric goes NaN/inf
+    # instead of logging `ploss: nan` to completion (the round-4 f32 CG
+    # underflow trained 90 nan epochs undetected; the reference would have
+    # logged nan silently too — ffm.cpp:1002 has no guard)
+    nan_guard: bool = True
 
     def hyper(self) -> HyperParams:
         return HyperParams(
@@ -402,6 +413,7 @@ class Trainer:
                 ):
                     with self.timer.phase("validate"):
                         metrics = self.validate()
+                    self._check_finite(metrics)
                     log(self._format_row(self.epoch_idx, metrics))
                     self._write_jsonl(self.epoch_idx, metrics, t_epoch)
                 if cfg.ckpt_dir and self.epoch_idx % cfg.eval_every == 0:
@@ -421,6 +433,34 @@ class Trainer:
         assert self.evaluator is not None
         st = self.state
         return self.evaluator.validate(st["params"], st["Q"], st["b"])
+
+    def _check_finite(self, metrics: Dict[str, float]):
+        """Finiteness tripwire (VERDICT r4 #6): a non-finite eval metric
+        means the model state is poisoned (e.g. the round-4 f32 CG underflow
+        put inf into table rows and the trainer printed `ploss: nan` for 90
+        more epochs).  Fail loudly at the FIRST bad eval, naming the
+        offending blocks, instead of logging nan to completion."""
+        if not self.cfg.nan_guard:
+            return
+        bad = sorted(
+            k for k, v in metrics.items() if not math.isfinite(float(v)))
+        if not bad:
+            return
+        culprits = []
+        for f12, blk in sorted(self.state["params"].items()):
+            for name in ("W", "H"):
+                arr = np.asarray(blk[name], dtype=np.float32)
+                n_bad = int(np.size(arr) - np.isfinite(arr).sum())
+                if n_bad:
+                    culprits.append(f"{name}[f12={f12}] ({n_bad} entries)")
+        raise NonFiniteMetricError(
+            f"non-finite eval metrics at epoch {self.epoch_idx}: "
+            f"{', '.join(bad)}; non-finite table blocks: "
+            f"{', '.join(culprits) if culprits else 'none (eval-side)'}. "
+            "Training aborted — the model state is poisoned and every "
+            "further epoch would train on it (disable with --no-nan-guard "
+            "for forensics)."
+        )
 
     # -- io -------------------------------------------------------------------
 

@@ -152,6 +152,21 @@ def gen_variant(workdir: str, variant: str, users: int, items: int, seed: int,
     return item_path, train_path, va_path, flags
 
 
+def _ref_cache_path(cache_dir, files, flags, epochs, k, lam, omega):
+    """Cache key for a reference run: dataset content + every hyperparameter
+    (the reference is deterministic per invocation — unseeded rand() — so
+    one run per key is exactly reproducible)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for p in files:
+        with open(p, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+    h.update(repr((sorted(flags), epochs, k, lam, omega)).encode())
+    return os.path.join(cache_dir, f"ref_{h.hexdigest()[:24]}.json")
+
+
 def run_pair(binary, files, flags, args, seed, k=None, lam=None, omega=None):
     item, train, va = files
     k = args.k if k is None else k
@@ -159,10 +174,27 @@ def run_pair(binary, files, flags, args, seed, k=None, lam=None, omega=None):
     omega = args.omega if omega is None else omega
     hp = ["-k", str(k), "-l", str(lam), "-w", str(omega),
           "-r", "-1", "-t", str(args.epochs)]
-    ref_cmd = [binary, *hp, "-c", "4", "-p", va, *flags, item, train]
-    ref = subprocess.run(ref_cmd, capture_output=True, text=True)
-    if ref.returncode != 0:
-        raise RuntimeError(f"reference failed: {ref.stderr[-500:]}")
+    cache_file = None
+    rm = None
+    if args.ref_cache:
+        os.makedirs(args.ref_cache, exist_ok=True)
+        cache_file = _ref_cache_path(args.ref_cache, files, flags,
+                                     args.epochs, k, lam, omega)
+        if os.path.exists(cache_file):
+            with open(cache_file) as fh:
+                rm = json.load(fh)
+    if rm is None:
+        ref_cmd = [binary, *hp, "-c", "4", "-p", va, *flags, item, train]
+        ref = subprocess.run(ref_cmd, capture_output=True, text=True)
+        if ref.returncode != 0:
+            raise RuntimeError(f"reference failed: {ref.stderr[-500:]}")
+        r = last_metric_row(ref.stdout)
+        if r is None:
+            raise RuntimeError("missing reference metric row")
+        rm = row_metrics(r)
+        if cache_file:
+            with open(cache_file, "w") as fh:
+                json.dump(rm, fh)
     our_cmd = [sys.executable, "-m", "one_class_ffm_tpu", item, train,
                "-p", va, *hp, "--eval-every", str(args.epochs),
                "--seed", str(seed), "--platform", "cpu",
@@ -171,11 +203,10 @@ def run_pair(binary, files, flags, args, seed, k=None, lam=None, omega=None):
                           cwd=REPO)
     if ours.returncode != 0:
         raise RuntimeError(f"ours failed: {ours.stderr[-500:]}")
-    r = last_metric_row(ref.stdout)
     o = last_metric_row(ours.stdout)
-    if r is None or o is None:
-        raise RuntimeError("missing metric rows")
-    return row_metrics(r), row_metrics(o)
+    if o is None:
+        raise RuntimeError("missing our metric row")
+    return rm, row_metrics(o)
 
 
 def mean_std(xs):
@@ -197,6 +228,15 @@ def main() -> int:
     ap.add_argument("--omega", type=float, default=0.1)
     ap.add_argument("--lam", type=float, default=0.05)
     ap.add_argument("--seeds", type=int, default=None)
+    ap.add_argument("--seed-offset", type=int, default=0,
+                    help="first seed index (extend a salvaged partial run: "
+                         "--seed-offset 8 --seeds 2 adds seeds 8..9; "
+                         "combine logs with parity_summarize.py)")
+    ap.add_argument("--ref-cache", default=None,
+                    help="directory caching reference-run metrics by "
+                         "dataset+hyperparameter hash — a second tier "
+                         "(e.g. --our-dtype bfloat16) then skips every "
+                         "reference re-run")
     ap.add_argument("--rtol", type=float, default=0.15)
     ap.add_argument("--skew", type=float, default=None,
                     help="zipf item-popularity exponent for the synthetic "
@@ -253,6 +293,9 @@ def main() -> int:
             variant = variant.strip()
 
             def one(s):
+                import time as _time
+
+                t0 = _time.time()
                 workdir = tempfile.mkdtemp(
                     prefix=f"parity_{variant}_{s}_")
                 item, train, va, flags = gen_variant(
@@ -264,14 +307,17 @@ def main() -> int:
                 print(f"[{cell_name} {variant} seed {s}] "
                       f"ref={json.dumps(r)}")
                 print(f"[{cell_name} {variant} seed {s}] "
-                      f"our={json.dumps(o)}", flush=True)
+                      f"our={json.dumps(o)}  "
+                      f"({_time.time() - t0:.0f}s)", flush=True)
                 return r, o
 
+            seed_range = range(args.seed_offset,
+                               args.seed_offset + args.seeds)
             if args.jobs > 1:
                 with cf.ThreadPoolExecutor(args.jobs) as ex:
-                    results = list(ex.map(one, range(args.seeds)))
+                    results = list(ex.map(one, seed_range))
             else:
-                results = [one(s) for s in range(args.seeds)]
+                results = [one(s) for s in seed_range]
             refs = [r for r, _ in results]
             ours = [o for _, o in results]
 

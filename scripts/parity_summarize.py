@@ -15,7 +15,8 @@ import re
 import sys
 
 LINE = re.compile(r"^\[(?P<cell>k=\S+ λ=\S+ ω=\S+) (?P<var>\S+) seed "
-                  r"(?P<seed>\d+)\] (?P<who>ref|our)=(?P<js>\{.*\})$")
+                  r"(?P<seed>\d+)\] (?P<who>ref|our)=(?P<js>\{.*\})"
+                  r"(?:\s+\(\d+s\))?$")
 METRICS = ["p@5", "p@10", "p@20", "ndcg@10", "ndcg@20", "ploss"]
 
 

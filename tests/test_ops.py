@@ -945,9 +945,19 @@ def test_solver_perf_gates(rng, monkeypatch):
     meta9, data9 = to_device_problem(prob8, row_pad=1, multiple=8,
                                      blocked_bm=4)
     assert meta9.blocked_bm_v == 0 and "blk_v_hd_row" not in data9
+    # round 5 (VERDICT r4 #3): under a shard-aligned mesh the two-tier
+    # split DOES engage — the tail keeps the shard_map-local kernel stack
+    # (carry mode, not the round-2 fallback) and the head ops run at jit
+    # level, GSPMD-partitioned; an unskewed mesh problem stays single-tier
+    monkeypatch.setenv("OCFFM_HEAD_CHUNK", "8")
+    meta10, data10 = to_device_problem(prob8, row_pad=1, multiple=S * BM,
+                                       blocked_bm=BM, blocked_shards=S)
+    assert meta10.blocked_bm_u == BM and meta10.blocked_bm_v == BM
+    s10 = FFMSolver(meta10, data10, mesh=mesh)
+    assert s10.hd_v and "blk_v_hd_row" in data10
+    assert s10.blk_yt and s10.blk_v_on and s10.pregather_v
+    assert s10.kt_u and s10.kt_v
     monkeypatch.delenv("OCFFM_HEAD_CHUNK")
-    # under a shard-aligned mesh the two-tier split must NOT engage (the
-    # head ops are not shard_map-local)
     assert "blk_u_hd_row" not in data6 and "blk_v_hd_row" not in data6
 
     # CG degenerate-denominator guard: an f32 V.Hv underflow to 0 (found

@@ -449,3 +449,40 @@ def test_trainer_kt_fused_interpret_matches_plain(dataset, tmp_path,
     m_kt = tr_kt.validate()
     for key in ("p@5", "ndcg@10", "ploss", "auc"):
         assert abs(m_kt[key] - m_plain[key]) < 1e-6, (key, m_kt, m_plain)
+
+
+def test_nan_guard_trips_on_poisoned_state(dataset, tmp_path):
+    """Finiteness tripwire (VERDICT r4 #6): a NaN table row must abort the
+    run at the NEXT eval with the offending block named — not train to
+    completion logging `ploss: nan` (the round-4 f32 CG underflow mode;
+    the reference would log nan silently too, ffm.cpp:1002)."""
+    import jax.numpy as jnp
+
+    from one_class_ffm_tpu.train import NonFiniteMetricError
+
+    cfg = make_cfg(dataset, tmp_path, nr_pass=4, eval_every=2)
+    tr = Trainer(cfg)
+    tr.init_state()
+    f12 = next(iter(tr.state["params"]))
+    W = tr.state["params"][f12]["W"]
+    tr.state["params"][f12]["W"] = jnp.full_like(W, jnp.nan)
+    rows = []
+    with pytest.raises(NonFiniteMetricError) as ei:
+        tr.run(log=rows.append)
+    msg = str(ei.value)
+    assert "epoch 2" in msg  # first eval, not the end of the run
+    assert f"[f12={f12}]" in msg  # the poisoned block is named
+    # no metric row was logged as if healthy (only the header)
+    assert not any(r.strip() and r.strip()[0].isdigit() for r in rows)
+
+    # guard disabled (--no-nan-guard): reference behavior — the run
+    # completes, logging nan rows for forensics
+    cfg2 = make_cfg(dataset, tmp_path, nr_pass=2, eval_every=2,
+                    nan_guard=False)
+    tr2 = Trainer(cfg2)
+    tr2.init_state()
+    W2 = tr2.state["params"][f12]["W"]
+    tr2.state["params"][f12]["W"] = jnp.full_like(W2, jnp.nan)
+    rows2 = []
+    tr2.run(log=rows2.append)
+    assert any("nan" in r for r in rows2)

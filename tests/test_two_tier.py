@@ -166,3 +166,58 @@ def test_two_tier_objective_and_refresh(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(re["yt_v_hd"]),
                                np.asarray(st_b2["yt_v_hd"]),
                                rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("kt,fused", [("interpret", "interpret"),
+                                      ("0", "0")])
+@pytest.mark.parametrize("both_sides", [False, True])
+def test_two_tier_epoch_matches_plain_under_mesh(rng, monkeypatch, kt,
+                                                 fused, both_sides):
+    """Round 5 (VERDICT r4 #3): a popularity-skewed problem on the 8-device
+    CPU mesh runs the two-tier head split WITH the sharded kernel stack
+    (carry mode, shard_map-local tail passes; head ops at jit level,
+    GSPMD-partitioned) and matches the plain single-device epoch to 1e-6 —
+    skew no longer knocks multi-chip back to the round-2 fallback."""
+    import jax
+
+    from one_class_ffm_tpu.parallel import make_mesh, shard_data, shard_state
+    from one_class_ffm_tpu.solver.jax_solver import FFMSolver
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.setenv("OCFFM_HEAD_CHUNK", "8")
+    monkeypatch.setenv("OCFFM_KT", kt)
+    monkeypatch.setenv("OCFFM_FUSED_TBL", fused)
+    S, BM = 8, 4
+    # larger than the single-shard cases: the shard-aligned stream's pads
+    # raise the layout's pad-ratio denominator, so the skew must be
+    # concentrated enough to trip the two-tier split through them
+    prob, params = _skewed_problem(
+        rng, m=160, n=64 if both_sides else 24,
+        density=0.03 if both_sides else 0.05, u_head=both_sides)
+    meta_p, data_p = to_device_problem(prob, row_pad=1, multiple=S * BM)
+    plain = FFMSolver(meta_p, data_p)
+    st = plain.refresh_caches({"params": oracle_params_to_jax(params)})
+    ref = plain.epoch(plain.epoch(st))
+
+    mesh = make_mesh(S)
+    meta_b, data_b = to_device_problem(
+        prob, row_pad=1, multiple=S * BM, blocked_bm=BM, blocked_shards=S)
+    sdata = shard_data(data_b, mesh)
+    ssolver = FFMSolver(meta_b, sdata, mesh=mesh)
+    assert ssolver.hd_v  # the power item engaged the head tier
+    if both_sides:
+        assert ssolver.hd_u
+    # carry mode with the head tier ON — not the round-2 fallback
+    assert ssolver.blk_yt and ssolver.blk_v_on
+    if kt == "interpret":
+        assert ssolver.kt_u and ssolver.kt_v
+    sstate = shard_state(
+        ssolver.refresh_caches({"params": oracle_params_to_jax(params)}),
+        mesh)
+    got = ssolver.epoch(ssolver.epoch(sstate))
+    for f12, blk in ref["params"].items():
+        for key in ("W", "H"):
+            np.testing.assert_allclose(
+                np.asarray(got["params"][f12][key]), np.asarray(blk[key]),
+                rtol=1e-6, atol=1e-9)
