@@ -197,7 +197,7 @@ def run_pair(binary, files, flags, args, seed, k=None, lam=None, omega=None):
                 json.dump(rm, fh)
     our_cmd = [sys.executable, "-m", "one_class_ffm_tpu", item, train,
                "-p", va, *hp, "--eval-every", str(args.epochs),
-               "--seed", str(seed), "--platform", "cpu",
+               "--seed", str(seed), "--platform", args.our_platform,
                "--dtype", args.our_dtype, *flags]
     ours = subprocess.run(our_cmd, capture_output=True, text=True,
                           cwd=REPO)
@@ -251,6 +251,11 @@ def main() -> int:
     ap.add_argument("--our-dtype", default="float32",
                     choices=["float32", "float64", "bfloat16"],
                     help="storage dtype for OUR trainer (bf16 quality gate)")
+    ap.add_argument("--our-platform", default="cpu",
+                    help="platform for OUR trainer: cpu (default) or auto "
+                         "(the real TPU — near-zero host CPU, so a bf16 "
+                         "tier can overlap a CPU-bound f32 matrix when "
+                         "every reference run is --ref-cache'd)")
     ap.add_argument("--floor", type=float, default=None,
                     help="absolute tolerance floor on x100 metrics "
                          "(toy default 0.25; sweep default 0 — no floor)")
@@ -311,18 +316,36 @@ def main() -> int:
                       f"({_time.time() - t0:.0f}s)", flush=True)
                 return r, o
 
+            def one_safe(s):
+                # one bad seed must not abort a multi-hour matrix run —
+                # report it, fail the variant, keep the other seeds
+                try:
+                    return one(s)
+                except Exception as e:  # noqa: BLE001
+                    print(f"[{cell_name} {variant} seed {s}] "
+                          f"FAILED: {e}", flush=True)
+                    return None
+
             seed_range = range(args.seed_offset,
                                args.seed_offset + args.seeds)
             if args.jobs > 1:
                 with cf.ThreadPoolExecutor(args.jobs) as ex:
-                    results = list(ex.map(one, seed_range))
+                    results = list(ex.map(one_safe, seed_range))
             else:
-                results = [one(s) for s in seed_range]
+                results = [one_safe(s) for s in seed_range]
+            n_failed = sum(r is None for r in results)
+            results = [r for r in results if r is not None]
+            if not results:
+                print(f"{cell_name} {variant}: PARITY FAILED "
+                      f"(all {n_failed} trials errored)\n", flush=True)
+                all_ok = False
+                continue
             refs = [r for r, _ in results]
             ours = [o for _, o in results]
 
-            print(f"\n== {cell_name} {variant}: mean over {args.seeds} "
-                  f"paired trials ==")
+            print(f"\n== {cell_name} {variant}: mean over {len(results)} "
+                  f"paired trials =="
+                  + (f"  ({n_failed} trials ERRORED)" if n_failed else ""))
             print(f"{'metric':>8} {'ref mean±σ':>16} {'ours mean±σ':>16} "
                   f"{'Δmean':>8} {'tol':>8} {'sign':>6}")
             v_ok = True
@@ -361,6 +384,7 @@ def main() -> int:
                     f"{sign} | "
                     f"{'ok' if ok else 'ONE-SIDED' if signed_bad and dm <= tol else 'DIVERGED'} |"
                 )
+            v_ok &= n_failed == 0  # errored trials are never silently ok
             print(f"{cell_name} {variant}: "
                   f"{'PARITY OK' if v_ok else 'PARITY FAILED'}\n",
                   flush=True)
