@@ -100,10 +100,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-host: jax.distributed.initialize() from env "
                         "(JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
                         "JAX_PROCESS_ID) before building the mesh")
+    p.add_argument("--refresh-every", dest="refresh_every", type=int,
+                   default=None,
+                   help="re-derive the incremental caches from the tables "
+                        "every N epochs (default auto: 10 at bf16 storage "
+                        "— bounds the bookkeeping drift that diverges at "
+                        "sweep scale; 0 disables)")
     p.add_argument("--no-nan-guard", dest="nan_guard", action="store_false",
                    help="disable the finiteness tripwire (by default a "
                         "NaN/inf eval metric aborts the run, naming the "
                         "poisoned blocks)")
+    p.add_argument("--max-ploss", dest="max_ploss", type=float, default=50.0,
+                   help="divergence tripwire: abort when eval ploss exceeds "
+                        "this (reference corpus maxes at 5.4; a finite "
+                        "explosion prints ~77+ at its first bad eval; "
+                        "0 disables)")
     p.add_argument("--verbose", action="store_true",
                    help="print dataset/model summary before training")
     p.add_argument("--config", default=None,
@@ -143,6 +154,8 @@ def config_from_args(args) -> TrainConfig:
         cg_precond=args.cg_precond,
         blocked_bm=args.blocked_bm,
         nan_guard=args.nan_guard,
+        max_ploss=args.max_ploss,
+        refresh_every=args.refresh_every,
     )
 
 

@@ -713,8 +713,16 @@ class FFMSolver:
                 return False
             nb, maxc = data[pre + "take"].shape
             lanes = -(-meta.hp.k // 128) * 128
-            nbytes = nb * maxc * lanes * jnp.dtype(meta.dtype).itemsize
-            return nbytes <= cap
+            isz = jnp.dtype(meta.dtype).itemsize
+            nbytes = nb * maxc * lanes * isz
+            # per-grid-step scoped VMEM: the in-kernel (MAXC, BM) one-hot
+            # plus the double-buffered lane-padded rows block — a
+            # skew-heavy MAXC (e.g. ~20k at f32, where the kt gate already
+            # rejected and this kernel was the fallback) otherwise crashes
+            # with a Mosaic stack OOM (round 5, f32 sweep-scale run)
+            est = (side_bm * maxc * isz + 2 * maxc * lanes * isz
+                   + (1 << 20))
+            return nbytes <= cap and est <= kt_vmem
 
         self.pallas_hv_u = pallas_ok(meta.blocked_bm_u, "blk_u_",
                                      self.pregather_u)
@@ -1165,11 +1173,18 @@ class FFMSolver:
                         T.shape[0], xi, xv, Q1, zcol,
                         d[pre + "own"], c_blk, bm, dd=ddcol,
                         interpret=self.fused_interpret)
+            # keep the kernels' f32 table-space output UNROUNDED through
+            # the gradient assembly (round 5): rounding Gt to bf16 before
+            # CG put bf16-scale noise on a gradient whose terms cancel
+            # near convergence, and that value noise — amplified through
+            # the Newton steps — measured as a divergence spiral at the
+            # k=16 tiny-omega sweep cell (PARITY.md incident log #2)
+            acc = jnp.promote_types(meta.dtype, jnp.float32)
+            lamT = hp.lam * (reg[:, None].astype(acc) * T.astype(acc))
             if dd2 is not None:
                 Gt, Dq = res
-                G = hp.lam * reg[:, None] * T + Gt.astype(meta.dtype)
-                return G, ("tbl", Dq.astype(meta.dtype))
-            G = hp.lam * reg[:, None] * T + res.astype(meta.dtype)
+                return lamT + Gt.astype(acc), ("tbl", Dq.astype(acc))
+            G = lamT + res.astype(acc)
             return (G, None) if want_diag else G
         if self.blk_yt:
             # slot-order carry: c is elementwise on the carried residual and
@@ -1459,9 +1474,14 @@ class FFMSolver:
                 B1 = state["Q"][f12] if first else state["P"][f12]
                 qtq_d = jnp.sum(B1 * B1, axis=0)  # pad rows are zero
                 colsq = self._side_colsq(b, first)
-                tblD = (hp.omega * colsq[:, None] * qtq_d[None, :]
-                        + Qt.astype(meta.dtype))
-                G = hp.lam * reg[:, None] * T + Gt.astype(meta.dtype)
+                # f32 assembly (see _grad_self): the kernels' table-space
+                # outputs stay unrounded through the gradient/diag
+                acc = jnp.promote_types(meta.dtype, jnp.float32)
+                tblD = (hp.omega * (colsq[:, None].astype(acc)
+                                    * qtq_d[None, :].astype(acc))
+                        + Qt.astype(acc))
+                G = (hp.lam * (reg[:, None].astype(acc) * T.astype(acc))
+                     + Gt.astype(acc))
                 return G, ("tbl", tblD)
             if sharded:
                 def local(xi_l, xv_l, rows_l, own_l, cb_l, dn_l):
@@ -1479,7 +1499,9 @@ class FFMSolver:
                     T.shape[0], xi, xv, rows_pre, d[pre + "own"], cb,
                     dense, bm, interpret=interp)
             Gt, _ = hd_tbl(Gt)
-            return hp.lam * reg[:, None] * T + Gt.astype(meta.dtype)
+            acc = jnp.promote_types(meta.dtype, jnp.float32)
+            return (hp.lam * (reg[:, None].astype(acc) * T.astype(acc))
+                    + Gt.astype(acc))
 
         def kt_scatter(pre, num, bm):
             """k-major gradient scatter for solves whose table side is NOT
@@ -1949,8 +1971,12 @@ class FFMSolver:
         bandwidth-bound positive passes) stays in storage dtype.  No-op for
         f32/f64 problems."""
         hp = self.meta.hp
-        storage = G.dtype
-        ct = jnp.promote_types(storage, jnp.float32)  # f32 floor, keeps f64
+        # Hv evaluation runs at STORAGE dtype (the bandwidth-bound stream
+        # passes); the recurrence — and since round 5 the returned step S —
+        # stay at the f32 floor.  G may arrive f32-assembled (fused paths)
+        # or at storage dtype (plain paths); the ct floor covers both.
+        storage = self.meta.dtype
+        ct = jnp.promote_types(G.dtype, jnp.float32)  # f32 floor, keeps f64
         # minor-dim packing of the recurrence vectors (OCFFM_CG_PACK,
         # default auto = tables with >= 2^20 rows): a (D, k<128) f32 array
         # physically lane-pads to 128 — the 2M x 200k config's S/R/V set
@@ -2013,7 +2039,10 @@ class FFMSolver:
         rz0 = g2 if Dc is None else jnp.sum(Gc * (Gc / Dc))
         init = (S0, -Gc, V0, g2, rz0, jnp.asarray(0, jnp.int32))
         S, _, _, _, _, it = jax.lax.while_loop(cond, body, init)
-        return upk(S).astype(storage), it
+        # S returns at the f32 floor: the caller applies it to the table in
+        # ONE rounding ((T + S).astype(storage)) instead of rounding S and
+        # the sum separately (round 5 — the bf16 divergence incident)
+        return upk(S), it
 
     # -- block updates (incremental cache refresh) ----------------------------
 
@@ -2033,10 +2062,15 @@ class FFMSolver:
         state = dict(state)
         params = dict(state["params"])
         blk_params = dict(params[f12])
-        blk_params[key] = blk_params[key] + S
+        # S arrives at the CG f32 floor: sum in f32, round ONCE into the
+        # stored table (no-op at f32/f64)
+        blk_params[key] = (blk_params[key] + S).astype(self.meta.dtype)
         params[f12] = blk_params
         state["params"] = params
 
+        # cache/residual increments run at storage dtype (the incremental
+        # bookkeeping path; refresh_every bounds its drift)
+        S = S.astype(self.meta.dtype)
         dP = self._proj(b, first, S)
         cache_key = "P" if first else "Q"
         caches = dict(state[cache_key])

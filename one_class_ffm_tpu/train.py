@@ -103,6 +103,26 @@ class TrainConfig:
     # underflow trained 90 nan epochs undetected; the reference would have
     # logged nan silently too — ffm.cpp:1002 has no guard)
     nan_guard: bool = True
+    # divergence tripwire: ploss (positive-pair RMSE, O(1) for any sane
+    # model of +-1-ish targets; the whole 664-log reference corpus tops out
+    # at 5.4) above this aborts like the nan guard — a finite explosion
+    # (the round-5 bf16 spiral printed ploss 77 at its first bad eval,
+    # then 1e9+) must not train on.  0 disables.
+    max_ploss: float = 50.0
+    # Re-derive the incremental caches (P/Q, a/b, the residual carry yt)
+    # from the block tables every N epochs.  The solver, like the
+    # reference (init_y_tilde/update_* ffm.cpp:388-465), updates these
+    # INCREMENTALLY after every half-solve; at f64 that is harmless, but
+    # at bf16 storage the bookkeeping error COMPOUNDS — measured on the
+    # k=16 sweep tier: carried-vs-recomputed residual drift reaches ~1%
+    # mean by epoch 25, then feeds back through the Gauss-Newton steps and
+    # the whole model explodes to |W| ~ 1e3 within 5 more epochs
+    # (docs/PARITY.md incident log, round 5).  A periodic re-derivation
+    # resets the drift; one refresh is ~one gradient-pass of work, so at
+    # the default cadence the overhead is ~1-2%.  None = auto: every 10
+    # epochs at bf16 storage, off at f32/f64 (f32 holds parity to 100
+    # epochs unrefreshed — PARITY.md sweep tier).  0 disables.
+    refresh_every: Optional[int] = None
 
     def hyper(self) -> HyperParams:
         return HyperParams(
@@ -299,6 +319,14 @@ class Trainer:
         self.state = None
         self.epoch_idx = 0
         self._jax = jax
+        # resolved cache-refresh cadence (see TrainConfig.refresh_every):
+        # bf16's incremental bookkeeping drift must be reset periodically
+        import jax.numpy as jnp
+
+        if cfg.refresh_every is not None:
+            self.refresh_every = int(cfg.refresh_every)
+        else:
+            self.refresh_every = 10 if dtype == jnp.bfloat16 else 0
         from .utils import PhaseTimer
 
         self.timer = PhaseTimer()
@@ -408,6 +436,17 @@ class Trainer:
                 self.epoch_idx += 1
                 t_epoch = time.time() - t0
                 if (
+                    self.refresh_every
+                    and self.epoch_idx % self.refresh_every == 0
+                ):
+                    # re-derive P/Q/a/b/yt from the tables: bounds the
+                    # incremental bf16 bookkeeping drift that otherwise
+                    # compounds into divergence (PARITY.md incident log)
+                    with self.timer.phase("refresh"):
+                        self.state = self._place_state(
+                            self.solver.refresh_caches(
+                                {"params": self.state["params"]}))
+                if (
                     self.evaluator is not None
                     and self.epoch_idx % cfg.eval_every == 0
                 ):
@@ -444,6 +483,10 @@ class Trainer:
             return
         bad = sorted(
             k for k, v in metrics.items() if not math.isfinite(float(v)))
+        if (not bad and self.cfg.max_ploss
+                and float(metrics.get("ploss", 0.0)) > self.cfg.max_ploss):
+            bad = [f"ploss={float(metrics['ploss']):.3g} > "
+                   f"max_ploss={self.cfg.max_ploss:g} (diverged)"]
         if not bad:
             return
         culprits = []

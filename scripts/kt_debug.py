@@ -38,9 +38,19 @@ def main() -> int:
         spec, dtype=np.float32, row_multiple=256
     )
     layout = BlockLayout.make(du, dv, self_side=True)
-    hp = HyperParams(k=32, lam=0.05, omega=0.1, r=-1.0)
+    import os as _os
+    # OCFFM_DEBUG_K / OCFFM_DEBUG_DTYPE / OCFFM_DEBUG_LAM /
+    # OCFFM_DEBUG_OMEGA: re-gate at a failing configuration (the
+    # round-5 k=16 bf16 divergence was invisible at the k=32 f32
+    # defaults)
+    _k = int(_os.environ.get("OCFFM_DEBUG_K", 32))
+    _lam = float(_os.environ.get("OCFFM_DEBUG_LAM", 0.05))
+    _om = float(_os.environ.get("OCFFM_DEBUG_OMEGA", 0.1))
+    hp = HyperParams(k=_k, lam=_lam, omega=_om, r=-1.0)
+    _dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        _os.environ.get("OCFFM_DEBUG_DTYPE", "float32")]
     meta, data = make_device_data(u_pad, v_pad, y_pad, layout, hp,
-                                  dtype=jnp.float32, blocked_bm=256)
+                                  dtype=_dt, blocked_bm=256)
     s_kt = FFMSolver(meta, data)
     assert s_kt.kt and s_kt.kt_u and s_kt.kt_v, "kt did not engage"
     os.environ["OCFFM_KT"] = "0"

@@ -486,3 +486,77 @@ def test_nan_guard_trips_on_poisoned_state(dataset, tmp_path):
     rows2 = []
     tr2.run(log=rows2.append)
     assert any("nan" in r for r in rows2)
+
+
+def test_refresh_every_bounds_carry_drift(dataset, tmp_path):
+    """Round-5 incident (PARITY.md): at bf16 storage the incrementally
+    carried caches (yt/P/Q/a/b) drift from the table-derived truth and the
+    drift COMPOUNDS into divergence at sweep scale.  refresh_every
+    re-derives them; right after a refresh the carried residual must equal
+    the freshly derived one exactly, and with refresh off a few bf16
+    epochs must show measurable drift (the disease being treated)."""
+    import numpy as np
+
+    def drift(tr):
+        sol = tr.solver
+        carried = np.asarray(sol.yt_stream(tr.state), np.float32)
+        fresh = sol.refresh_caches({"params": tr.state["params"]})
+        return np.abs(carried
+                      - np.asarray(sol.yt_stream(fresh), np.float32)).max()
+
+    cfg0 = make_cfg(dataset, tmp_path, nr_pass=4, dtype="bfloat16",
+                    refresh_every=0)
+    tr0 = Trainer(cfg0)
+    tr0.init_state()
+    tr0.run(log=lambda *_: None)
+    assert drift(tr0) > 0  # unrefreshed bf16 bookkeeping drifts
+
+    cfg1 = make_cfg(dataset, tmp_path, nr_pass=4, dtype="bfloat16",
+                    refresh_every=2)
+    tr1 = Trainer(cfg1)
+    tr1.init_state()
+    tr1.run(log=lambda *_: None)
+    assert drift(tr1) == 0  # epoch 4 ended on a refresh — drift reset
+
+    # auto cadence: ON at bf16, OFF at f64 (f32/f64 hold parity without it)
+    assert tr1.refresh_every == 2
+    assert Trainer(make_cfg(dataset, tmp_path, nr_pass=0,
+                            dtype="bfloat16")).refresh_every == 10
+    assert Trainer(make_cfg(dataset, tmp_path, nr_pass=0)).refresh_every == 0
+
+
+def test_refresh_every_f64_is_identity(dataset, tmp_path):
+    """At f64 a cache re-derivation is numerically the identity — training
+    with refresh_every must reproduce the unrefreshed run to fp noise."""
+    import numpy as np
+
+    runs = {}
+    for every in (0, 2):
+        cfg = make_cfg(dataset, tmp_path, nr_pass=6, refresh_every=every)
+        tr = Trainer(cfg)
+        tr.init_state()
+        tr.run(log=lambda *_: None)
+        runs[every] = tr.params_numpy()
+    for f12, blk in runs[0].items():
+        for key in ("W", "H"):
+            np.testing.assert_allclose(
+                runs[2][f12][key], blk[key], rtol=1e-8, atol=1e-10)
+
+
+def test_divergence_guard_trips_on_exploded_ploss(dataset, tmp_path):
+    """The tripwire also catches FINITE explosions (round-5 bf16 spiral:
+    ploss 77 at its first bad eval — the nan check alone missed it)."""
+    from one_class_ffm_tpu.train import NonFiniteMetricError
+
+    cfg = make_cfg(dataset, tmp_path, nr_pass=0)
+    tr = Trainer(cfg)
+    tr.init_state()
+    tr.epoch_idx = 7
+    with pytest.raises(NonFiniteMetricError) as ei:
+        tr._check_finite({"ploss": 77.2, "p@5": 0.01})
+    assert "diverged" in str(ei.value) and "epoch 7" in str(ei.value)
+    tr._check_finite({"ploss": 5.4, "p@5": 1.0})  # corpus-max is fine
+    cfg2 = make_cfg(dataset, tmp_path, nr_pass=0, max_ploss=0.0)
+    tr2 = Trainer(cfg2)
+    tr2.init_state()
+    tr2._check_finite({"ploss": 77.2})  # guard disabled
