@@ -198,7 +198,8 @@ def run_pair(binary, files, flags, args, seed, k=None, lam=None, omega=None):
     our_cmd = [sys.executable, "-m", "one_class_ffm_tpu", item, train,
                "-p", va, *hp, "--eval-every", str(args.epochs),
                "--seed", str(seed), "--platform", args.our_platform,
-               "--dtype", args.our_dtype, *flags]
+               "--dtype", args.our_dtype,
+               "--cg-precond", args.our_cg, *flags]
     ours = subprocess.run(our_cmd, capture_output=True, text=True,
                           cwd=REPO)
     if ours.returncode != 0:
@@ -251,6 +252,11 @@ def main() -> int:
     ap.add_argument("--our-dtype", default="float32",
                     choices=["float32", "float64", "bfloat16"],
                     help="storage dtype for OUR trainer (bf16 quality gate)")
+    ap.add_argument("--our-cg", default="auto",
+                    choices=["auto", "jacobi", "none"],
+                    help="OUR trainer's --cg-precond (none = the "
+                         "reference-exact plain CG — the k64 deficit "
+                         "diagnosis arm)")
     ap.add_argument("--our-platform", default="cpu",
                     help="platform for OUR trainer: cpu (default) or auto "
                          "(the real TPU — near-zero host CPU, so a bf16 "
