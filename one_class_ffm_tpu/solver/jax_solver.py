@@ -499,17 +499,28 @@ class FFMSolver:
                 "blocked_shards > 1 (shard-aligned blocked layout) requires "
                 "constructing FFMSolver with mesh=")
         self.blocks: List[BlockInfo] = meta.layout.all_blocks()
-        # "auto": Jacobi PCG everywhere EXCEPT bf16 storage with plain COO
-        # ops — there the bf16-accumulated Hv noise defeats the
-        # preconditioner (solves stall to the iteration cap; docs/PERF.md,
-        # scripts/cg_iters.py).  The blocked-sorted ops accumulate their
-        # matmuls in f32, which restores PCG at bf16 (337k vs 333k ex/s).
+        # "auto": Jacobi PCG everywhere EXCEPT
+        #   (a) bf16 storage with plain COO ops — the bf16-accumulated Hv
+        #       noise defeats the preconditioner (solves stall to the
+        #       iteration cap; docs/PERF.md, scripts/cg_iters.py); the
+        #       blocked-sorted ops accumulate their matmuls in f32, which
+        #       restores PCG at bf16 (337k vs 333k ex/s), and
+        #   (b) k >= 64 — measured at the KKBox best-row sweep cell
+        #       (k=64, lam=4, omega=2^-5, N=10): jacobi lands a CONSISTENT
+        #       -7.7% p@5 vs the reference's plain CG (one-sided on every
+        #       seed, reproduced at f64 — not precision), while plain CG
+        #       matches the reference exactly; at k <= 32 the two land
+        #       statistically identical fixed points (docs/PARITY.md,
+        #       sweep tier).  The capped (20), loose-eps (0.09) solves
+        #       appear to trade top-of-ranking sharpness under the
+        #       preconditioner as rank grows.
         # Explicit "jacobi"/"none" override the heuristic.
         self.cg_precond = meta.hp.cg_precond
         if self.cg_precond == "auto":
             plain_bf16 = meta.dtype == jnp.bfloat16 and not (
                 meta.blocked_bm_u or meta.blocked_bm_v)
-            self.cg_precond = "none" if plain_bf16 else "jacobi"
+            self.cg_precond = ("none" if plain_bf16 or meta.hp.k >= 64
+                               else "jacobi")
         # Per-solve pre-gather of the blocked stream's B rows
         # (ops.gather_blocked_rows): B is constant across a solve, so the
         # random gather is paid once and the grad + every CG iteration
