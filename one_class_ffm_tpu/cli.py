@@ -87,10 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "items for large catalogs")
     p.add_argument("--cg-precond", dest="cg_precond", default="auto",
                    choices=["auto", "jacobi", "none"],
-                   help="CG flavor: auto (jacobi except plain-COO bf16 — "
-                        "the measured winners), jacobi (diagonal-"
-                        "preconditioned, same stop rule), none (reference-"
-                        "exact plain CG, ffm.cpp:744-813)")
+                   help="CG flavor: auto = none (reference-exact plain "
+                        "CG, ffm.cpp:744-813 — jacobi measured distorting "
+                        "converged-state ranking quality at sweep scale, "
+                        "docs/PARITY.md), jacobi (diagonal-preconditioned "
+                        "opt-in, same stop rule)")
     p.add_argument("--blocked-bm", dest="blocked_bm", type=int, default=256,
                    help="rows per block for the blocked-sorted positive "
                         "passes (one-hot MXU matmuls / Mosaic hv kernel); "

@@ -499,28 +499,24 @@ class FFMSolver:
                 "blocked_shards > 1 (shard-aligned blocked layout) requires "
                 "constructing FFMSolver with mesh=")
         self.blocks: List[BlockInfo] = meta.layout.all_blocks()
-        # "auto": Jacobi PCG everywhere EXCEPT
-        #   (a) bf16 storage with plain COO ops — the bf16-accumulated Hv
-        #       noise defeats the preconditioner (solves stall to the
-        #       iteration cap; docs/PERF.md, scripts/cg_iters.py); the
-        #       blocked-sorted ops accumulate their matmuls in f32, which
-        #       restores PCG at bf16 (337k vs 333k ex/s), and
-        #   (b) k >= 64 — measured at the KKBox best-row sweep cell
-        #       (k=64, lam=4, omega=2^-5, N=10): jacobi lands a CONSISTENT
-        #       -7.7% p@5 vs the reference's plain CG (one-sided on every
-        #       seed, reproduced at f64 — not precision), while plain CG
-        #       matches the reference exactly; at k <= 32 the two land
-        #       statistically identical fixed points (docs/PARITY.md,
-        #       sweep tier).  The capped (20), loose-eps (0.09) solves
-        #       appear to trade top-of-ranking sharpness under the
-        #       preconditioner as rank grows.
-        # Explicit "jacobi"/"none" override the heuristic.
+        # "auto" (round 5): PLAIN CG — the reference's exact solver
+        # (ffm.cpp:744-813).  Jacobi-PCG was the default through round 4
+        # (fewer iterations, toy-tier metric parity 36/36), but the
+        # sweep-scale tier exposed it changing the REACHABLE 100-epoch
+        # state under the reference's capped (20), loose-eps (0.09)
+        # solves: -7.7% p@5 one-sided at the KKBox k=64 cell and -51%
+        # p@5 at the k=16 fm-fm--ns cell (ploss LOWER — the diag
+        # preconditioner down-weights shared high-curvature features, so
+        # the model memorizes per-id scores and ranks worse), both
+        # reproduced at f64 (not precision) and both ELIMINATED exactly
+        # by plain CG (docs/PARITY.md, k64 diagnosis).  Throughput cost
+        # at the shipped bf16+blocked stack is small (plain CG measured
+        # 333.4k vs 337.3k jacobi at the headline, round 2) because CG
+        # iterations beyond the first are nearly free (PERF.md
+        # cap-sweep).  "jacobi" remains an explicit opt-in.
         self.cg_precond = meta.hp.cg_precond
         if self.cg_precond == "auto":
-            plain_bf16 = meta.dtype == jnp.bfloat16 and not (
-                meta.blocked_bm_u or meta.blocked_bm_v)
-            self.cg_precond = ("none" if plain_bf16 or meta.hp.k >= 64
-                               else "jacobi")
+            self.cg_precond = "none"
         # Per-solve pre-gather of the blocked stream's B rows
         # (ops.gather_blocked_rows): B is constant across a solve, so the
         # random gather is paid once and the grad + every CG iteration

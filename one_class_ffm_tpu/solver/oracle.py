@@ -250,9 +250,10 @@ def solve_block_half(
     table of block ``b``, against the *current* params.  Returns the step S
     (does not apply it)."""
     G, hv = grad_and_hv(prob, params, b, first_side)
-    # oracle is fp64: "auto" resolves to jacobi (solver rule for f32/f64)
+    # "auto" resolves to PLAIN CG (round 5 — mirrors the solver rule; the
+    # sweep tier measured jacobi distorting converged-state quality)
     D = (diag_hessian(prob, params, b, first_side)
-         if prob.hp.cg_precond in ("jacobi", "auto") else None)
+         if prob.hp.cg_precond == "jacobi" else None)
     return _cg(hv, G, prob.hp, D)
 
 
