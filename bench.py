@@ -29,6 +29,25 @@ def main() -> int:
     dtype_name = os.environ.get("BENCH_DTYPE", "auto")
 
     import jax
+
+    # the tunneled TPU intermittently reports UNAVAILABLE at backend init
+    # (verify skill gotchas; a sustained outage ate the round-5 final
+    # queue) — retry a few times before giving up so a transient blip
+    # doesn't void a benchmark run
+    for attempt in range(5):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 4:
+                raise
+            print(f"# backend init failed (attempt {attempt + 1}/5): "
+                  f"{str(e)[:120]} — retrying in 60s", file=sys.stderr)
+            time.sleep(60)
+            try:  # drop the memoized init failure so the retry is real
+                jax.extend.backend.clear_backends()
+            except Exception:
+                pass
     import jax.numpy as jnp
     import numpy as np
 
